@@ -1,0 +1,52 @@
+"""On-disk dataset loader for prepared sample trees (data/prep.py layout).
+
+The reference trains from per-sample files written by data_prep.py
+(SURVEY.md §3.1 last step).  This loader reads the same contract back —
+whether the tree came from the synthetic generator or from a real
+preprocessed ShapeNet dump in the same layout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+class PreparedDataset:
+    """Map-style dataset over an on-disk tree written by prepare_dataset.
+
+    Exposes the same ``get(i)`` sample-dict schema as SyntheticShapeDataset
+    (BatchIterator works on either), plus ``config``-compatible attributes
+    used by the split helper.
+    """
+
+    def __init__(self, root: str, split: str = "train",
+                 keys: Optional[List[str]] = None,
+                 cache_size: int = 256):
+        self.root = root
+        self.split = split
+        with open(os.path.join(root, "manifest.json")) as fh:
+            self.manifest = json.load(fh)
+        with open(os.path.join(root, f"{split}_list.txt")) as fh:
+            self.files = [l.strip() for l in fh if l.strip()]
+        self.keys = keys
+        self._cache: Dict[int, Dict[str, np.ndarray]] = {}
+        self._cache_size = cache_size
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def class_of(self, index: int) -> int:
+        return int(self.files[index].split("_")[0])
+
+    def get(self, index: int) -> Dict[str, np.ndarray]:
+        if index in self._cache:
+            return self._cache[index]
+        with np.load(os.path.join(self.root, self.split, self.files[index])) as z:
+            sample = {k: z[k] for k in (self.keys or z.files)}
+        if len(self._cache) < self._cache_size:
+            self._cache[index] = sample
+        return sample

@@ -1,0 +1,48 @@
+"""Hardware kernels (Pallas) with lax fallbacks — dispatch layer.
+
+SURVEY.md §2.2: the reference has NO native components to port (pure torch
+ops); the TPU-native "native layer" is these Pallas kernels.  Every kernel
+has a jax.lax twin in core/ used (a) as the correctness oracle in tests and
+(b) as the non-TPU fallback so the whole framework runs on CPU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+from ..core.chamfer import chamfer_distance as _chamfer_lax
+from ..core.chamfer import nearest_sqdists as _nearest_lax
+from .chamfer_pallas import (
+    chamfer_distance_fused,
+    nearest_neighbor_pallas,
+    nearest_sqdists_fused,
+)
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def chamfer(x, y, x_mask=None, y_mask=None):
+    """Symmetric Chamfer: fused Pallas on TPU, lax elsewhere.  [B,·,3] → [B]."""
+    if _on_tpu():
+        return chamfer_distance_fused(x, y, x_mask, y_mask)
+    return _chamfer_lax(x, y, x_mask, y_mask)
+
+
+def nearest_sqdists(x, y, x_mask=None, y_mask=None):
+    """(row mins, col mins) for Chamfer/F1 eval — dispatched like chamfer()."""
+    if _on_tpu():
+        return nearest_sqdists_fused(x, y, x_mask, y_mask)
+    return _nearest_lax(x, y, x_mask, y_mask)
+
+
+__all__ = [
+    "chamfer",
+    "chamfer_distance_fused",
+    "nearest_neighbor_pallas",
+    "nearest_sqdists",
+    "nearest_sqdists_fused",
+]

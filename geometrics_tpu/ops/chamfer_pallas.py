@@ -1,0 +1,197 @@
+"""Fused tiled nearest-neighbor / Chamfer Pallas kernel.
+
+Reference pipeline (SURVEY.md §3.5): materialize the full N×M squared-distance
+matrix in memory, then row/col min.  At training scale (N=M=2048, B=16) that
+is ~0.5 GB of HBM traffic per step for pure reduction work.
+
+This kernel tiles the distance matrix over a (N/TN, M/TM) grid and keeps each
+TN×TM tile in VMEM only; running row-min + argmin accumulators live in the
+output block, revisited across the inner (arbitrary) grid dimension — the
+N×M matrix NEVER exists in HBM (BASELINE.json north_star).  Distances are
+computed as Σ_k (x_k−y_k)² with an unrolled k-loop of VPU broadcast-FMAs:
+at K=3 the MXU form ‖x‖²+‖y‖²−2x·y wastes the systolic array AND loses
+precision to cancellation, which matters at the F1 threshold τ=1e-4.
+
+Gradients: custom VJP from saved argmins — d/dx_i min_j‖x_i−y_j‖² =
+2(x_i − y_{j*}) — a pair of gathers/segment-sums, O(N+M) instead of O(N·M)
+recompute.  Symmetric handling gives the full Chamfer VJP.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 1e30
+_TN = 256   # rows of x per tile (sublane-dim multiple of 8)
+_TM = 512   # cols (y points) per tile (lane-dim multiple of 128)
+_KDIM = 8   # coordinate dim padded 3 → 8 (f32 sublane tile)
+
+
+def _nearest_kernel(x_ref, y_ref, ym_ref, min_ref, arg_ref):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        min_ref[:] = jnp.full_like(min_ref, _BIG)
+        arg_ref[:] = jnp.zeros_like(arg_ref)
+
+    x = x_ref[:]                       # [TN, KDIM]
+    y = y_ref[:]                       # [TM, KDIM]
+    tn, tm = x.shape[0], y.shape[0]
+    d = jnp.zeros((tn, tm), jnp.float32)
+    for k in range(3):                 # unrolled: K is statically 3
+        diff = x[:, k].reshape(tn, 1) - y[:, k].reshape(1, tm)
+        d += diff * diff
+    d += (1.0 - ym_ref[:]) * _BIG      # mask dead y columns
+
+    tile_min = jnp.min(d, axis=1, keepdims=True)                    # [TN,1]
+    tile_arg = jnp.argmin(d, axis=1).astype(jnp.int32).reshape(tn, 1)
+    tile_arg = tile_arg + j * tm
+    better = tile_min < min_ref[:]
+    arg_ref[:] = jnp.where(better, tile_arg, arg_ref[:])
+    min_ref[:] = jnp.where(better, tile_min, min_ref[:])
+
+
+def _pad_rows(a: jax.Array, mult: int) -> jax.Array:
+    n = a.shape[0]
+    pad = (-n) % mult
+    return a if pad == 0 else jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+
+
+def nearest_neighbor_pallas(
+    x: jax.Array,                      # [N, 3]
+    y: jax.Array,                      # [M, 3]
+    y_mask: Optional[jax.Array] = None,  # [M] 0/1
+    *,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """min_j ‖x_i − y_j‖² and argmin_j, unbatched: → ([N], [N] int32).
+
+    Rows of x that are padding compute garbage mins (against live y) — the
+    caller masks them out of the mean, same convention as core/chamfer.py.
+    ``interpret`` defaults to True off-TPU so tests can run the kernel on CPU.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, m = x.shape[0], y.shape[0]
+    if y_mask is None:
+        y_mask = jnp.ones((m,), jnp.float32)
+    xp = _pad_rows(x.astype(jnp.float32), _TN)
+    yp = _pad_rows(y.astype(jnp.float32), _TM)
+    ymp = _pad_rows(y_mask.astype(jnp.float32).reshape(m, 1), _TM)[:, 0]
+    np_, mp_ = xp.shape[0], yp.shape[0]
+    xp = jnp.pad(xp, ((0, 0), (0, _KDIM - 3)))
+    yp = jnp.pad(yp, ((0, 0), (0, _KDIM - 3)))
+    ym2 = ymp.reshape(1, mp_)
+
+    grid = (np_ // _TN, mp_ // _TM)
+    mins, args = pl.pallas_call(
+        _nearest_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_TN, _KDIM), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TM, _KDIM), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TM), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_TN, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TN, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((np_, 1), jnp.float32),
+            jax.ShapeDtypeStruct((np_, 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(xp, yp, ym2)
+    return mins[:n, 0], args[:n, 0]
+
+
+def _masked_mean(v, mask):
+    return jnp.sum(v * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Fused Chamfer with custom VJP (unbatched; vmapped wrapper below)
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def _chamfer_fused_1(x, y, x_mask, y_mask):
+    loss, _ = _chamfer_fwd_impl(x, y, x_mask, y_mask)
+    return loss
+
+
+def _chamfer_fwd_impl(x, y, x_mask, y_mask):
+    dxy, axy = nearest_neighbor_pallas(x, y, y_mask)   # per-x nearest y
+    dyx, ayx = nearest_neighbor_pallas(y, x, x_mask)   # per-y nearest x
+    loss = _masked_mean(dxy, x_mask) + _masked_mean(dyx, y_mask)
+    return loss, (x, y, x_mask, y_mask, axy, ayx)
+
+
+def _chamfer_fwd(x, y, x_mask, y_mask):
+    return _chamfer_fwd_impl(x, y, x_mask, y_mask)
+
+
+def _chamfer_bwd(res, g):
+    x, y, x_mask, y_mask, axy, ayx = res
+    nx = jnp.maximum(jnp.sum(x_mask), 1.0)
+    ny = jnp.maximum(jnp.sum(y_mask), 1.0)
+
+    # term 1: mean_i min_j ‖x_i − y_{axy_i}‖²
+    w1 = (g * x_mask / nx)[:, None]
+    diff1 = x - y[axy]                                  # [N,3]
+    dx = 2.0 * w1 * diff1
+    dy = jax.ops.segment_sum(-2.0 * w1 * diff1, axy, num_segments=y.shape[0])
+
+    # term 2: mean_j min_i ‖y_j − x_{ayx_j}‖²
+    w2 = (g * y_mask / ny)[:, None]
+    diff2 = y - x[ayx]                                  # [M,3]
+    dy = dy + 2.0 * w2 * diff2
+    dx = dx + jax.ops.segment_sum(-2.0 * w2 * diff2, ayx,
+                                  num_segments=x.shape[0])
+    return dx, dy, None, None
+
+
+_chamfer_fused_1.defvjp(_chamfer_fwd, _chamfer_bwd)
+
+
+def chamfer_distance_fused(
+    x: jax.Array,                       # [B, N, 3]
+    y: jax.Array,                       # [B, M, 3]
+    x_mask: Optional[jax.Array] = None,  # [B, N]
+    y_mask: Optional[jax.Array] = None,  # [B, M]
+) -> jax.Array:                          # [B]
+    """Batched fused symmetric Chamfer — drop-in for core.chamfer_distance."""
+    if x_mask is None:
+        x_mask = jnp.ones(x.shape[:2], jnp.float32)
+    if y_mask is None:
+        y_mask = jnp.ones(y.shape[:2], jnp.float32)
+    return jax.vmap(_chamfer_fused_1)(x, y, x_mask, y_mask)
+
+
+def nearest_sqdists_fused(
+    x: jax.Array, y: jax.Array,
+    x_mask: Optional[jax.Array] = None, y_mask: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Batched (row mins [B,N], col mins [B,M]) — eval-path (F1) variant."""
+    if x_mask is None:
+        x_mask = jnp.ones(x.shape[:2], jnp.float32)
+    if y_mask is None:
+        y_mask = jnp.ones(y.shape[:2], jnp.float32)
+    row = jax.vmap(lambda a, b, m: nearest_neighbor_pallas(a, b, m)[0])(
+        x, y, y_mask)
+    col = jax.vmap(lambda a, b, m: nearest_neighbor_pallas(a, b, m)[0])(
+        y, x, x_mask)
+    return row, col

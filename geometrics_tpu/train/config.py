@@ -1,0 +1,97 @@
+"""Typed configs for every entry point (SURVEY.md §5 config/flag system).
+
+The reference exposes argparse flags with inline defaults on each script
+(GEOMetrics.py / auto_encoder.py / data_prep.py); here each entry point has
+one frozen dataclass whose fields are CLI-overridable via
+``geometrics_tpu.utils.cli.parse_into`` — same knobs (epochs, lr, batch size,
+loss weights, latent dim, split budget/threshold), typed and centralized.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+from .losses import LossWeights
+
+
+@dataclass(frozen=True)
+class MeshBudget:
+    """Static buffer bounds — the compile-time contract for masked growth."""
+
+    subdivisions: int = 2          # init icosphere level (162 verts / 320 faces)
+    v_max: int = 640               # vertex slack for splitting
+    f_max: int = 1536              # face slack (>= faces0 + 2*total_splits)
+    init_radius: float = 0.5
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    image_size: int = 137
+    hidden: int = 192
+    block_depth: int = 6
+    carried_dim: int = 192
+    num_blocks: int = 3
+    cnn_widths: Tuple[int, ...] = (32, 64, 128, 256)
+    splits_per_round: int = 0      # 0 = fixed topology (config [B:8])
+    split_threshold: float = 0.0
+    bfloat16: bool = False          # compute dtype for conv/matmul stacks
+
+
+@dataclass(frozen=True)
+class AutoEncoderConfig:
+    """auto_encoder.py equivalent (SURVEY.md §3.2, config [B:9])."""
+
+    latent_dim: int = 128
+    encoder_hidden: int = 128
+    encoder_depth: int = 4
+    voxel_res: int = 32
+    batch_size: int = 32
+    learning_rate: float = 1e-3
+    epochs: int = 40
+    seed: int = 0
+    checkpoint_dir: str = "runs/ae"
+    log_every: int = 10
+    # data
+    num_classes: int = 13
+    models_per_class: int = 32
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """GEOMetrics.py equivalent (SURVEY.md §3.3, configs [B:7..11])."""
+
+    model: ModelConfig = field(default_factory=ModelConfig)
+    mesh: MeshBudget = field(default_factory=MeshBudget)
+    loss: LossWeights = field(default_factory=LossWeights)
+    batch_size: int = 16
+    learning_rate: float = 3e-4
+    epochs: int = 50
+    surface_samples: int = 2048    # points sampled from pred mesh per loss eval
+    gt_points: int = 2048          # GT points used per step (subset of stored)
+    seed: int = 0
+    checkpoint_dir: str = "runs/geometrics"
+    encoder_checkpoint: Optional[str] = None  # frozen MeshEncoder (AE handoff)
+    # frozen-encoder architecture (must match the AE run that produced it)
+    encoder_latent_dim: int = 128
+    encoder_hidden: int = 128
+    encoder_depth: int = 4
+    log_every: int = 10
+    eval_every_epochs: int = 5
+    save_every_epochs: int = 5
+    use_fused_chamfer: bool = True  # Pallas kernel on TPU, lax fallback on CPU
+    multi_stage_chamfer: bool = True
+    # data
+    num_classes: int = 13
+    models_per_class: int = 32
+    test_fraction: float = 0.2
+
+
+@dataclass(frozen=True)
+class EvalConfig:
+    """Evaluation protocol (SURVEY.md §3.4): Chamfer + F1@τ / F1@2τ."""
+
+    tau: float = 1e-4
+    eval_points: int = 2048
+    batch_size: int = 16

@@ -1,0 +1,286 @@
+"""Main GEOMetrics train/eval driver (GEOMetrics.py equivalent, SURVEY.md §3.3).
+
+One jitted SPMD train step over the ('data',) mesh: CNN forward, three
+pooling+GCN blocks with masked splits, differentiable sampling, the full
+composite loss, backward, Adam — all one XLA program per step.  The
+reference's per-sample Python loop (§3.3 ★) is gone by construction.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.chamfer import chamfer_distance, f1_score
+from ..core.mesh import MeshBuffer, icosphere_np, make_mesh_buffer, save_mesh_buffer_sample
+from ..core.sampling import sample_surface_batched
+from ..data.loader import BatchIterator, train_test_split
+from ..data.synthetic import CLASS_NAMES, SyntheticConfig, SyntheticShapeDataset
+from ..models.gcn import MeshEncoder
+from ..models.geometrics import GEOMetricsModel
+from ..models.perceptual_pooling import Camera
+from ..parallel.sharding import make_mesh_for_batch, replicate_tree, shard_batch
+from ..utils.checkpoint import Checkpointer
+from ..utils.logging import MetricsLogger, trace_annotation
+from .config import EvalConfig, TrainConfig
+from .losses import geometrics_loss
+
+
+def build_model(config: TrainConfig) -> GEOMetricsModel:
+    m = config.model
+    return GEOMetricsModel(
+        image_size=m.image_size, num_blocks=m.num_blocks, hidden=m.hidden,
+        block_depth=m.block_depth, carried_dim=m.carried_dim,
+        cnn_widths=m.cnn_widths, splits_per_round=m.splits_per_round,
+        split_threshold=m.split_threshold,
+        dtype=jnp.bfloat16 if m.bfloat16 else None)
+
+
+def build_init_mesh(config: TrainConfig, batch_size: int) -> MeshBuffer:
+    """The init-sphere template (reference: bundled .obj asset, §2.1 #13)."""
+    verts, faces = icosphere_np(
+        subdivisions=config.mesh.subdivisions, radius=config.mesh.init_radius)
+    return make_mesh_buffer(
+        verts, faces, v_max=config.mesh.v_max, f_max=config.mesh.f_max,
+        batch_size=batch_size)
+
+
+def batch_camera(batch: Dict[str, jax.Array]) -> Camera:
+    return Camera(azimuth=batch["azimuth"], elevation=batch["elevation"],
+                  distance=batch["distance"])
+
+
+def gt_mesh_buffer(batch: Dict[str, jax.Array]) -> MeshBuffer:
+    """GT mesh graphs arrive dense (fixed topology) → full-mask MeshBuffer."""
+    b, v = batch["gt_verts"].shape[:2]
+    f = batch["gt_faces"].shape[1]
+    return MeshBuffer(
+        verts=batch["gt_verts"], faces=batch["gt_faces"],
+        vert_mask=jnp.ones((b, v), jnp.float32),
+        face_mask=jnp.ones((b, f), jnp.float32))
+
+
+def make_encode_fn(config: TrainConfig, encoder_params) -> Callable:
+    """Frozen MeshEncoder closure for the latent loss (stop-grad on params)."""
+    enc = MeshEncoder(hidden=config.encoder_hidden, depth=config.encoder_depth,
+                      latent_dim=config.encoder_latent_dim)
+    frozen = jax.lax.stop_gradient(encoder_params)
+
+    def encode(verts, faces, face_mask, vert_mask):
+        return enc.apply({"params": frozen}, verts, faces, face_mask, vert_mask)
+
+    return encode
+
+
+def make_train_step(model: GEOMetricsModel, tx: optax.GradientTransformation,
+                    config: TrainConfig, encoder_params=None):
+    chamfer_fn = chamfer_distance
+    if config.use_fused_chamfer:
+        from ..ops import chamfer as fused_chamfer  # lax fallback off-TPU
+        chamfer_fn = fused_chamfer
+    encode_fn = (make_encode_fn(config, encoder_params)
+                 if encoder_params is not None else None)
+
+    def loss_fn(params, batch, init_mesh, key):
+        out = model.apply({"params": params}, batch["image"],
+                          batch_camera(batch), init_mesh)
+        gt_mesh = gt_mesh_buffer(batch) if encode_fn is not None else None
+        total, aux = geometrics_loss(
+            key, out, batch["gt_points"], config.loss, config.surface_samples,
+            encode_fn=encode_fn, gt_mesh=gt_mesh, chamfer_fn=chamfer_fn,
+            multi_stage_chamfer=config.multi_stage_chamfer)
+        return total, aux
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, batch, init_mesh, key):
+        with trace_annotation("geometrics/train_step"):
+            (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, init_mesh, key)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+        return params, opt_state, aux
+
+    return step
+
+
+def make_eval_step(model: GEOMetricsModel, config: TrainConfig,
+                   eval_config: EvalConfig):
+    """Per-batch eval: forward (no grad), sample, Chamfer + F1@τ + F1@2τ.
+
+    Returns per-sample arrays so the host can aggregate per class
+    (SURVEY.md §3.4 protocol).
+    """
+
+    @jax.jit
+    def step(params, batch, init_mesh, key):
+        out = model.apply({"params": params}, batch["image"],
+                          batch_camera(batch), init_mesh)
+        mesh = out.mesh
+        pts = sample_surface_batched(
+            key, mesh.verts, mesh.faces, mesh.face_mask,
+            eval_config.eval_points)
+        gt = batch["gt_points"][:, :eval_config.eval_points]
+        cham = chamfer_distance(pts, gt)
+        f1_1, _, _ = f1_score(pts, gt, tau=eval_config.tau)
+        f1_2, _, _ = f1_score(pts, gt, tau=2 * eval_config.tau)
+        return {"chamfer": cham, "f1_tau": f1_1, "f1_2tau": f1_2,
+                "class_id": batch["class_id"]}
+
+    return step
+
+
+def evaluate(params, model, config: TrainConfig, dataset, indices,
+             eval_config: EvalConfig = EvalConfig(), seed: int = 0,
+             mesh_devices=None) -> Dict[str, Any]:
+    """Full eval pass → mean + per-class Chamfer / F1@τ / F1@2τ."""
+    devmesh = mesh_devices or make_mesh_for_batch(eval_config.batch_size)
+    step = make_eval_step(model, config, eval_config)
+    init_mesh = replicate_tree(
+        build_init_mesh(config, eval_config.batch_size), devmesh)
+    it = BatchIterator(dataset, eval_config.batch_size, shuffle=False,
+                       indices=indices, drop_remainder=True)
+    rows = {"chamfer": [], "f1_tau": [], "f1_2tau": [], "class_id": []}
+    key = jax.random.PRNGKey(seed)
+    for i, batch in enumerate(it):
+        key, sub = jax.random.split(key)
+        res = step(params, shard_batch(batch, devmesh), init_mesh, sub)
+        res = jax.device_get(res)
+        for k in rows:
+            rows[k].append(np.asarray(res[k]))
+    if not rows["chamfer"]:
+        return {}
+    cat = {k: np.concatenate(v) for k, v in rows.items()}
+    out: Dict[str, Any] = {
+        "mean_chamfer": float(cat["chamfer"].mean()),
+        "mean_f1_tau": float(cat["f1_tau"].mean()),
+        "mean_f1_2tau": float(cat["f1_2tau"].mean()),
+        "num_samples": int(len(cat["chamfer"])),
+    }
+    per_class = {}
+    for c in np.unique(cat["class_id"]):
+        sel = cat["class_id"] == c
+        name = CLASS_NAMES[int(c) % len(CLASS_NAMES)]
+        per_class[name] = {
+            "chamfer": float(cat["chamfer"][sel].mean()),
+            "f1_tau": float(cat["f1_tau"][sel].mean()),
+            "f1_2tau": float(cat["f1_2tau"][sel].mean()),
+        }
+    out["per_class"] = per_class
+    return out
+
+
+def train_geometrics(config: TrainConfig,
+                     dataset: Optional[SyntheticShapeDataset] = None,
+                     encoder_params=None,
+                     max_steps: Optional[int] = None) -> Dict[str, Any]:
+    """Full training run; returns {'params', 'metrics', 'eval', …}.
+
+    ``encoder_params`` may be passed directly (tests) or loaded from
+    ``config.encoder_checkpoint`` (the AE handoff).
+    """
+    if dataset is None:
+        dataset = SyntheticShapeDataset(SyntheticConfig(
+            num_classes=config.num_classes,
+            models_per_class=config.models_per_class,
+            gt_points=max(config.gt_points, 2048), seed=config.seed))
+    train_idx, test_idx = train_test_split(dataset, config.test_fraction)
+
+    model = build_model(config)
+    init_mesh_host = build_init_mesh(config, config.batch_size)
+
+    sample = dataset.get(0)
+    b0 = {k: jnp.asarray(v)[None].repeat(config.batch_size, axis=0)
+          for k, v in sample.items()}
+    params = model.init(
+        jax.random.PRNGKey(config.seed), b0["image"], batch_camera(b0),
+        init_mesh_host)["params"]
+
+    if encoder_params is None and config.encoder_checkpoint:
+        enc = MeshEncoder(hidden=config.encoder_hidden,
+                          depth=config.encoder_depth,
+                          latent_dim=config.encoder_latent_dim)
+        from .autoencoder import MeshVoxelAE
+        ae = MeshVoxelAE(latent_dim=config.encoder_latent_dim,
+                         encoder_hidden=config.encoder_hidden,
+                         encoder_depth=config.encoder_depth)
+        gt_v = b0["gt_verts"][:1]
+        gt_f = b0["gt_faces"][:1]
+        abstract = ae.init(
+            jax.random.PRNGKey(0), gt_v, gt_f,
+            jnp.ones((1, gt_f.shape[1])), jnp.ones((1, gt_v.shape[1])))
+        ckpt = Checkpointer(config.encoder_checkpoint)
+        restored = ckpt.restore(
+            {"params": jax.device_get(abstract["params"]), "step": 0})
+        encoder_params = restored["params"]["encoder"]
+        del enc
+
+    tx = optax.adam(config.learning_rate)
+    opt_state = tx.init(params)
+    devmesh = make_mesh_for_batch(config.batch_size)
+    params = replicate_tree(params, devmesh)
+    opt_state = replicate_tree(opt_state, devmesh)
+    init_mesh = replicate_tree(init_mesh_host, devmesh)
+
+    step_fn = make_train_step(model, tx, config, encoder_params)
+    logger = MetricsLogger(config.checkpoint_dir, "train_metrics")
+    ckpt = Checkpointer(config.checkpoint_dir)
+    it = BatchIterator(dataset, config.batch_size, seed=config.seed,
+                       indices=train_idx)
+
+    feed_keys = ("image", "azimuth", "elevation", "distance", "gt_points",
+                 "gt_verts", "gt_faces")
+    key = jax.random.PRNGKey(config.seed + 1)
+    step = 0
+    aux: Dict[str, Any] = {}
+    eval_result: Dict[str, Any] = {}
+    for epoch in range(config.epochs):
+        for batch in it:
+            batch = {k: batch[k] for k in feed_keys if k in batch}
+            batch["gt_points"] = batch["gt_points"][:, :config.gt_points]
+            batch = shard_batch(batch, devmesh)
+            key, sub = jax.random.split(key)
+            params, opt_state, aux = step_fn(params, opt_state, batch,
+                                             init_mesh, sub)
+            if step % config.log_every == 0:
+                logger.log(step, aux, epoch=epoch)
+            step += 1
+            if max_steps is not None and step >= max_steps:
+                break
+        if (epoch + 1) % config.save_every_epochs == 0 or (
+                max_steps is not None and step >= max_steps):
+            ckpt.save(step, {"params": jax.device_get(params), "step": step},
+                      wait=True)
+        if (epoch + 1) % config.eval_every_epochs == 0:
+            eval_result = evaluate(params, model, config, dataset, test_idx,
+                                   mesh_devices=devmesh)
+            logger.log(step, {f"eval_{k}": v for k, v in eval_result.items()
+                              if not isinstance(v, dict)})
+        if max_steps is not None and step >= max_steps:
+            break
+    ckpt.save(step, {"params": jax.device_get(params), "step": step}, wait=True)
+    logger.close()
+    return {"params": params, "model": model, "metrics": jax.device_get(aux),
+            "eval": eval_result, "checkpoint_dir": config.checkpoint_dir,
+            "init_mesh": init_mesh_host}
+
+
+def main(argv=None) -> None:
+    """CLI entry (GEOMetrics.py equivalent): dataclass flags, full run."""
+    import json
+
+    from ..utils.cli import parse_into
+
+    config = parse_into(TrainConfig(), argv)
+    result = train_geometrics(config)
+    if result["eval"]:
+        print(json.dumps(result["eval"], indent=2))
+
+
+if __name__ == "__main__":
+    main()

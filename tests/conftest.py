@@ -1,20 +1,25 @@
 """Test configuration: force CPU with 8 virtual devices (SURVEY.md §4.5).
 
-Must run before jax is imported anywhere — pytest imports conftest first.
-This exercises the ('data',) mesh sharding logic without TPU hardware; the
-single-chip TPU smoke path is covered separately by bench.py / __graft_entry__.
+The environment's sitecustomize pins ``JAX_PLATFORMS=axon`` (the tunneled TPU
+chip) before any user code runs, so setting the env var here is too late —
+``jax.config.update`` after import is the effective override.  Tests run on
+the local 8-virtual-device CPU mesh: fast (no tunnel RPC per call) and it
+exercises the ('data',) sharding logic; real-TPU smoke is covered by bench.py
+/ __graft_entry__.
 """
 
 import os
+import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
-import sys
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,75 @@
+"""Pallas fused Chamfer vs lax oracle (SURVEY.md §4.2 kernel-equivalence).
+
+Runs the kernel in interpreter mode on CPU; the same code path compiles on
+TPU (bench.py exercises that)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from geometrics_tpu.core.chamfer import chamfer_distance, nearest_sqdists
+from geometrics_tpu.ops.chamfer_pallas import (
+    chamfer_distance_fused,
+    nearest_neighbor_pallas,
+)
+
+
+@pytest.fixture(scope="module")
+def pts(rng=None):
+    r = np.random.default_rng(7)
+    x = jnp.asarray(r.normal(size=(300, 3)).astype(np.float32))
+    y = jnp.asarray(r.normal(size=(530, 3)).astype(np.float32))
+    ym = jnp.asarray((r.random(530) > 0.2).astype(np.float32))
+    xm = jnp.asarray((r.random(300) > 0.2).astype(np.float32))
+    return x, y, xm, ym
+
+
+def test_nearest_matches_lax(pts):
+    x, y, xm, ym = pts
+    mins, args = nearest_neighbor_pallas(x, y, ym)
+    d_lax, _ = nearest_sqdists(x[None], y[None], None, ym[None])
+    np.testing.assert_allclose(np.asarray(mins), np.asarray(d_lax[0]),
+                               rtol=1e-5, atol=1e-6)
+    # argmins must actually achieve the min distance
+    d = np.sum((np.asarray(x)[:, None] - np.asarray(y)[None]) ** 2, axis=-1)
+    d = d + (1 - np.asarray(ym))[None] * 1e30
+    np.testing.assert_allclose(
+        d[np.arange(300), np.asarray(args)], np.asarray(mins),
+        rtol=1e-5, atol=1e-6)
+
+
+def test_fused_chamfer_matches_lax(pts):
+    x, y, xm, ym = pts
+    fused = chamfer_distance_fused(x[None], y[None], xm[None], ym[None])
+    lax = chamfer_distance(x[None], y[None], xm[None], ym[None])
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(lax),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fused_chamfer_grad_matches_lax(pts):
+    x, y, xm, ym = pts
+
+    def loss_fused(x_, y_):
+        return jnp.sum(chamfer_distance_fused(x_[None], y_[None],
+                                              xm[None], ym[None]))
+
+    def loss_lax(x_, y_):
+        return jnp.sum(chamfer_distance(x_[None], y_[None],
+                                        xm[None], ym[None]))
+
+    gx_f, gy_f = jax.grad(loss_fused, argnums=(0, 1))(x, y)
+    gx_l, gy_l = jax.grad(loss_lax, argnums=(0, 1))(x, y)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_l),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gy_f), np.asarray(gy_l),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fused_chamfer_batched_unmasked():
+    r = np.random.default_rng(3)
+    x = jnp.asarray(r.normal(size=(2, 64, 3)).astype(np.float32))
+    y = jnp.asarray(r.normal(size=(2, 96, 3)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(chamfer_distance_fused(x, y)),
+        np.asarray(chamfer_distance(x, y)), rtol=1e-5, atol=1e-6)

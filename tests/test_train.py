@@ -1,0 +1,165 @@
+"""End-to-end training smokes (SURVEY.md §4.4 integration ladder, shrunk to
+CI scale): AE pretrain step, full GEOMetrics step with every loss term, the
+overfit-one-sample config [B:7], and the multichip dryrun entry."""
+
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from geometrics_tpu.data.synthetic import SyntheticConfig, SyntheticShapeDataset
+from geometrics_tpu.train import (
+    AutoEncoderConfig,
+    LossWeights,
+    MeshBudget,
+    ModelConfig,
+    TrainConfig,
+    train_autoencoder,
+    train_geometrics,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    return SyntheticShapeDataset(SyntheticConfig(
+        num_classes=2, models_per_class=4, gt_points=256,
+        image_size=32, voxel_res=16, subdivisions=1))
+
+
+def _tiny_train_config(tmp_path, **overrides) -> TrainConfig:
+    defaults = dict(
+        model=ModelConfig(image_size=32, hidden=16, block_depth=1,
+                          carried_dim=8, cnn_widths=(4, 8),
+                          splits_per_round=4, split_threshold=0.0),
+        mesh=MeshBudget(subdivisions=1, v_max=64, f_max=160),
+        batch_size=4, surface_samples=128, gt_points=128,
+        epochs=1, num_classes=2, models_per_class=4,
+        checkpoint_dir=str(tmp_path / "run"),
+        use_fused_chamfer=False, log_every=1000,
+        encoder_latent_dim=16, encoder_hidden=8, encoder_depth=1,
+    )
+    defaults.update(overrides)
+    return TrainConfig(**defaults)
+
+
+def test_autoencoder_smoke(tiny_dataset, tmp_path):
+    cfg = AutoEncoderConfig(
+        latent_dim=16, encoder_hidden=8, encoder_depth=1, voxel_res=16,
+        batch_size=4, epochs=1, num_classes=2, models_per_class=4,
+        checkpoint_dir=str(tmp_path / "ae"), log_every=1000)
+    out = train_autoencoder(cfg, dataset=tiny_dataset, max_steps=3)
+    assert np.isfinite(out["metrics"]["bce"])
+    assert os.path.isdir(out["checkpoint_dir"])
+
+
+def test_geometrics_train_smoke_with_all_losses(tiny_dataset, tmp_path):
+    """Full composite loss incl. frozen-encoder latent term + splitting."""
+    from geometrics_tpu.train.autoencoder import MeshVoxelAE
+
+    cfg = _tiny_train_config(tmp_path)
+    # fabricate a frozen encoder matching cfg.encoder_* dims
+    ae = MeshVoxelAE(latent_dim=16, encoder_hidden=8, encoder_depth=1,
+                     voxel_res=16)
+    s = tiny_dataset.get(0)
+    gv = jnp.asarray(s["gt_verts"])[None]
+    gf = jnp.asarray(s["gt_faces"])[None]
+    enc_params = ae.init(jax.random.PRNGKey(0), gv, gf,
+                         jnp.ones((1, gf.shape[1])), jnp.ones((1, gv.shape[1]))
+                         )["params"]["encoder"]
+    out = train_geometrics(cfg, dataset=tiny_dataset,
+                           encoder_params=enc_params, max_steps=2)
+    m = out["metrics"]
+    for term in ("total", "chamfer", "latent", "edge", "laplacian",
+                 "laplacian_move"):
+        assert np.isfinite(m[term]), term
+    assert m["latent"] > 0.0  # encoder actually used
+
+
+def test_overfit_single_sample_chamfer_drops(tiny_dataset, tmp_path):
+    """Config [B:7]: loss on one repeated sample must fall substantially."""
+    cfg = _tiny_train_config(
+        tmp_path,
+        model=ModelConfig(image_size=32, hidden=32, block_depth=2,
+                          carried_dim=16, cnn_widths=(8, 16),
+                          splits_per_round=0),
+        batch_size=2, learning_rate=3e-3, epochs=200,
+        loss=LossWeights(chamfer=1.0, latent=0.0, edge=0.05, laplacian=0.02,
+                         laplacian_move=0.02),
+        models_per_class=1, num_classes=1, test_fraction=0.0,
+        multi_stage_chamfer=False,
+    )
+
+    class OneSample:
+        config = SyntheticConfig(num_classes=1, models_per_class=1)
+
+        def __init__(self, base):
+            self.s = base.get(0)
+
+        def __len__(self):
+            return 2
+
+        def class_of(self, i):
+            return 0
+
+        def get(self, i):
+            return self.s
+
+    ds = OneSample(tiny_dataset)
+    import geometrics_tpu.data.loader as loader_mod
+
+    train_idx = np.array([0, 1])
+    # run manually to capture first/last loss
+    from geometrics_tpu.train.trainer import (
+        build_init_mesh, build_model, make_train_step, batch_camera)
+    from geometrics_tpu.parallel import make_mesh_for_batch, replicate_tree, shard_batch
+    import optax
+
+    model = build_model(cfg)
+    init_mesh_host = build_init_mesh(cfg, cfg.batch_size)
+    b0 = {k: jnp.asarray(v)[None].repeat(cfg.batch_size, axis=0)
+          for k, v in ds.get(0).items()}
+    params = model.init(jax.random.PRNGKey(0), b0["image"], batch_camera(b0),
+                        init_mesh_host)["params"]
+    tx = optax.adam(cfg.learning_rate)
+    opt_state = tx.init(params)
+    devmesh = make_mesh_for_batch(cfg.batch_size)
+    params = replicate_tree(params, devmesh)
+    opt_state = replicate_tree(opt_state, devmesh)
+    init_mesh = replicate_tree(init_mesh_host, devmesh)
+    step_fn = make_train_step(model, tx, cfg)
+    batch = {k: np.asarray(v) for k, v in b0.items()
+             if k in ("image", "azimuth", "elevation", "distance", "gt_points")}
+    batch["gt_points"] = batch["gt_points"][:, :cfg.gt_points]
+    sharded = shard_batch(batch, devmesh)
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(60):
+        key, sub = jax.random.split(key)
+        params, opt_state, aux = step_fn(params, opt_state, sharded,
+                                         init_mesh, sub)
+        losses.append(float(aux["chamfer"]))
+    first = np.mean(losses[:5])
+    last = np.mean(losses[-5:])
+    assert last < first * 0.5, f"chamfer did not drop: {first:.4f} -> {last:.4f}"
+
+
+def test_dryrun_multichip_8():
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    fn, example_args = ge.entry()
+    out = jax.jit(fn)(*example_args)
+    jax.block_until_ready(out)
+    assert np.all(np.isfinite(np.asarray(out[0])))
