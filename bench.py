@@ -20,11 +20,26 @@ import time
 import numpy as np
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache: first-compile through the TPU tunnel is
+    minutes; later invocations (e.g. the driver's round-end run) reuse it."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def bench_jax(batch_size: int, steps: int, warmup: int, splits: int,
               surface_samples: int) -> float:
     import jax
     import jax.numpy as jnp
     import optax
+
+    _enable_compile_cache()
 
     from geometrics_tpu.models import Camera
     from geometrics_tpu.parallel import make_mesh_for_batch, replicate_tree, shard_batch

@@ -5,8 +5,11 @@ regularizers, masked adaptive splitting."""
 from .adjacency import (
     aggregate_neighbors,
     aggregate_neighbors_batched,
+    aggregate_neighbors_dense,
     dense_adjacency,
     face_edges,
+    normalized_adjacency_dense,
+    normalized_adjacency_dense_batched,
     vertex_degrees,
 )
 from .chamfer import chamfer_distance, f1_score, nearest_sqdists, pairwise_sqdist

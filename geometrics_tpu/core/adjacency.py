@@ -61,9 +61,16 @@ def aggregate_neighbors(
     """Neighbor aggregation ``agg[i] = reduce_{j ∈ N(i)} feats[j]`` (unbatched).
 
     Equivalent to the reference's ``Â @ H`` with row-normalized adjacency
-    (SURVEY.md §2.1 #8) but computed as a masked segment-sum over the
-    face-derived directed-edge multiset.  Exact for closed manifolds (see
-    module docstring).  Isolated / padded vertices aggregate to 0.
+    (SURVEY.md §2.1 #8).  Computed with the *face-sum identity* instead of an
+    explicit edge list: on a closed manifold each neighbor u of v shares
+    exactly two faces with v, so
+
+        Σ_{f∋v} (feats[a_f]+feats[b_f]+feats[c_f]) − facecount(v)·feats[v]
+          = 2 · Σ_{u∈N(v)} feats[u],          facecount(v) = deg(v).
+
+    This needs one segment-sum over 3F corner entries (vs 6F directed edges)
+    — half the scatter traffic of the naive COO form.  Isolated / padded
+    vertices aggregate to 0.
 
     Args:
       feats: [V, D].
@@ -74,14 +81,19 @@ def aggregate_neighbors(
     Returns: [V, D].
     """
     v_max = feats.shape[-2]
-    src, dst, emask = face_edges(faces, face_mask)
-    vals = jnp.take(feats, dst, axis=0) * emask[:, None]
-    sums = jax.ops.segment_sum(vals, src, num_segments=v_max)
+    fm = face_mask[:, None]
+    face_sum = (jnp.take(feats, faces[:, 0], axis=0)
+                + jnp.take(feats, faces[:, 1], axis=0)
+                + jnp.take(feats, faces[:, 2], axis=0)) * fm
+    corners = faces.reshape(-1)                                  # [3F]
+    vals = jnp.repeat(face_sum, 3, axis=0)                       # value per corner
+    scat = jax.ops.segment_sum(vals, corners, num_segments=v_max)
+    cmask = jnp.repeat(face_mask, 3)
+    facecount = jax.ops.segment_sum(cmask, corners, num_segments=v_max)
+    nbr_sum2 = scat - facecount[:, None] * feats                 # = 2·Σ neighbors
     if reduce == "sum":
-        # Multiset double-counts each neighbor on closed manifolds; halve.
-        return 0.5 * sums
-    counts = jax.ops.segment_sum(emask, src, num_segments=v_max)
-    return sums / jnp.maximum(counts, 1.0)[:, None]
+        return 0.5 * nbr_sum2
+    return nbr_sum2 / jnp.maximum(2.0 * facecount, 1.0)[:, None]
 
 
 def aggregate_neighbors_batched(
@@ -99,18 +111,37 @@ def vertex_degrees(faces: jax.Array, face_mask: jax.Array, v_max: int) -> jax.Ar
     return 0.5 * jax.ops.segment_sum(emask, src, num_segments=v_max)
 
 
-def dense_adjacency(mesh: MeshBuffer) -> jax.Array:
-    """Materialize the dense normalized adjacency [B, V, V] (test oracle only).
+def normalized_adjacency_dense(faces: jax.Array, face_mask: jax.Array,
+                               v_max: int) -> jax.Array:
+    """Row-normalized dense adjacency [V, V] built on-device (unbatched).
 
-    This is what the reference stores (SURVEY.md §2.1 #2); in this framework it
-    exists solely so tests can check segment aggregation against ``Â @ H``.
+    The MXU-path alternative to segment aggregation: at the framework's
+    vertex budgets (V ≤ ~1k) a dense ``Â @ H`` matmul rides the systolic
+    array and is built ONCE per topology state (per deformation block),
+    amortized over the block's GCN layers — whereas segment-sum scatters per
+    layer.  models/gcn.py selects between the two via ``adjacency_mode``.
     """
-    def one(faces, face_mask, v_max):
-        src, dst, emask = face_edges(faces, face_mask)
-        adj = jnp.zeros((v_max, v_max)).at[src, dst].add(emask)
-        adj = jnp.minimum(adj, 1.0)  # collapse the directed-edge multiset
-        deg = jnp.sum(adj, axis=1, keepdims=True)
-        return adj / jnp.maximum(deg, 1.0)
+    src, dst, emask = face_edges(faces, face_mask)
+    adj = jnp.zeros((v_max, v_max)).at[src, dst].add(emask)
+    adj = jnp.minimum(adj, 1.0)  # collapse the directed-edge multiset
+    deg = jnp.sum(adj, axis=1, keepdims=True)
+    return adj / jnp.maximum(deg, 1.0)
 
-    v_max = mesh.v_max
-    return jax.vmap(lambda f, m: one(f, m, v_max))(mesh.faces, mesh.face_mask)
+
+def normalized_adjacency_dense_batched(faces: jax.Array, face_mask: jax.Array,
+                                       v_max: int) -> jax.Array:
+    return jax.vmap(lambda f, m: normalized_adjacency_dense(f, m, v_max))(
+        faces, face_mask)
+
+
+def aggregate_neighbors_dense(feats: jax.Array, adj: jax.Array) -> jax.Array:
+    """Mean-neighbor aggregation as a batched MXU matmul: [B,V,V]@[B,V,D]."""
+    return jnp.einsum("bvu,bud->bvd", adj, feats,
+                      preferred_element_type=jnp.float32)
+
+
+def dense_adjacency(mesh: MeshBuffer) -> jax.Array:
+    """Dense normalized adjacency [B, V, V] of a MeshBuffer (test oracle and
+    the reference's stored form, SURVEY.md §2.1 #2)."""
+    return normalized_adjacency_dense_batched(mesh.faces, mesh.face_mask,
+                                              mesh.v_max)

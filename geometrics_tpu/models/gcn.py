@@ -27,7 +27,11 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..core.adjacency import aggregate_neighbors_batched
+from ..core.adjacency import (
+    aggregate_neighbors_batched,
+    aggregate_neighbors_dense,
+    normalized_adjacency_dense_batched,
+)
 
 
 class GraphConv(nn.Module):
@@ -36,6 +40,11 @@ class GraphConv(nn.Module):
     The two projections are separate Dense layers (the reference's
     self/neighbor weight split); activation is applied by the caller so blocks
     can place residuals before the nonlinearity.
+
+    Aggregation path: segment-sum over face corners by default; if ``adj``
+    (a precomputed dense normalized adjacency [B,V,V]) is passed, aggregation
+    is a batched MXU matmul instead — the block builds ``adj`` once per
+    topology state and amortizes it over its layers.
     """
 
     features: int
@@ -49,9 +58,13 @@ class GraphConv(nn.Module):
         faces: jax.Array,       # [B, F, 3] int32
         face_mask: jax.Array,   # [B, F]
         vert_mask: jax.Array,   # [B, V]
+        adj: Optional[jax.Array] = None,  # [B, V, V] dense Â (MXU path)
     ) -> jax.Array:
         feats = feats * vert_mask[..., None]  # never aggregate slack garbage
-        nbr = aggregate_neighbors_batched(feats, faces, face_mask)
+        if adj is not None:
+            nbr = aggregate_neighbors_dense(feats, adj)
+        else:
+            nbr = aggregate_neighbors_batched(feats, faces, face_mask)
         h = nn.Dense(self.features, use_bias=self.use_bias, dtype=self.dtype,
                      name="self_proj")(feats)
         h = h + nn.Dense(self.features, use_bias=False, dtype=self.dtype,
@@ -74,6 +87,7 @@ class GCNDeformationBlock(nn.Module):
     hidden: int = 192
     depth: int = 6
     out_features: int = 192
+    adjacency_mode: str = "segment"  # "segment" | "dense" (MXU matmul)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -91,12 +105,18 @@ class GCNDeformationBlock(nn.Module):
             parts.append(carried)
         h = jnp.concatenate(parts, axis=-1)
 
+        # topology is constant within a block — build Â once, reuse per layer
+        adj = None
+        if self.adjacency_mode == "dense":
+            adj = normalized_adjacency_dense_batched(
+                faces, face_mask, coords.shape[-2])
+
         h = GraphConv(self.hidden, dtype=self.dtype, name="lift")(
-            h, faces, face_mask, vert_mask)
+            h, faces, face_mask, vert_mask, adj)
         h = nn.relu(h)
         for i in range(self.depth):
             r = GraphConv(self.hidden, dtype=self.dtype, name=f"conv{i}")(
-                h, faces, face_mask, vert_mask)
+                h, faces, face_mask, vert_mask, adj)
             h = nn.relu(h + r)  # residual keeps deep stacks trainable
 
         delta = nn.Dense(
@@ -104,7 +124,7 @@ class GCNDeformationBlock(nn.Module):
             name="delta_head",
         )(h)
         feats_out = GraphConv(self.out_features, dtype=self.dtype, name="feat_head")(
-            h, faces, face_mask, vert_mask)
+            h, faces, face_mask, vert_mask, adj)
         feats_out = nn.relu(feats_out)
         mask = vert_mask[..., None]
         return delta.astype(jnp.float32) * mask, feats_out * mask

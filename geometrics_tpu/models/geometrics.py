@@ -55,6 +55,7 @@ class GEOMetricsModel(nn.Module):
     # splitting (between blocks only; 0 disables → fixed topology, config [B:8])
     splits_per_round: int = 0
     split_threshold: float = 0.0
+    adjacency_mode: str = "segment"  # "segment" | "dense" (see models/gcn.py)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -72,6 +73,7 @@ class GEOMetricsModel(nn.Module):
             delta, carried = GCNDeformationBlock(
                 hidden=self.hidden, depth=self.block_depth,
                 out_features=self.carried_dim, dtype=self.dtype,
+                adjacency_mode=self.adjacency_mode,
                 name=f"block{b}",
             )(mesh.verts, pooled, carried, mesh.faces, mesh.face_mask,
               mesh.vert_mask)

@@ -36,6 +36,7 @@ class ModelConfig:
     cnn_widths: Tuple[int, ...] = (32, 64, 128, 256)
     splits_per_round: int = 0      # 0 = fixed topology (config [B:8])
     split_threshold: float = 0.0
+    adjacency_mode: str = "segment"  # "segment" | "dense" (MXU matmul path)
     bfloat16: bool = False          # compute dtype for conv/matmul stacks
 
 

@@ -38,7 +38,7 @@ def build_model(config: TrainConfig) -> GEOMetricsModel:
         image_size=m.image_size, num_blocks=m.num_blocks, hidden=m.hidden,
         block_depth=m.block_depth, carried_dim=m.carried_dim,
         cnn_widths=m.cnn_widths, splits_per_round=m.splits_per_round,
-        split_threshold=m.split_threshold,
+        split_threshold=m.split_threshold, adjacency_mode=m.adjacency_mode,
         dtype=jnp.bfloat16 if m.bfloat16 else None)
 
 
@@ -117,6 +117,8 @@ def make_eval_step(model: GEOMetricsModel, config: TrainConfig,
     (SURVEY.md §3.4 protocol).
     """
 
+    from ..ops import nearest_sqdists  # fused Pallas on TPU, lax on CPU
+
     @jax.jit
     def step(params, batch, init_mesh, key):
         out = model.apply({"params": params}, batch["image"],
@@ -126,19 +128,29 @@ def make_eval_step(model: GEOMetricsModel, config: TrainConfig,
             key, mesh.verts, mesh.faces, mesh.face_mask,
             eval_config.eval_points)
         gt = batch["gt_points"][:, :eval_config.eval_points]
-        cham = chamfer_distance(pts, gt)
-        f1_1, _, _ = f1_score(pts, gt, tau=eval_config.tau)
-        f1_2, _, _ = f1_score(pts, gt, tau=2 * eval_config.tau)
-        return {"chamfer": cham, "f1_tau": f1_1, "f1_2tau": f1_2,
-                "class_id": batch["class_id"]}
+        d_pg, d_gp = nearest_sqdists(pts, gt)
+        cham = jnp.mean(d_pg, axis=-1) + jnp.mean(d_gp, axis=-1)
+        f1s = []
+        for tau in (eval_config.tau, 2 * eval_config.tau):
+            precision = jnp.mean((d_pg < tau).astype(jnp.float32), axis=-1)
+            recall = jnp.mean((d_gp < tau).astype(jnp.float32), axis=-1)
+            denom = jnp.maximum(precision + recall, 1e-12)
+            f1s.append(jnp.where(denom > 1e-12,
+                                 2 * precision * recall / denom, 0.0))
+        return {"chamfer": cham, "f1_tau": f1s[0], "f1_2tau": f1s[1],
+                "class_id": batch["class_id"], "mesh": mesh}
 
     return step
 
 
 def evaluate(params, model, config: TrainConfig, dataset, indices,
              eval_config: EvalConfig = EvalConfig(), seed: int = 0,
-             mesh_devices=None) -> Dict[str, Any]:
-    """Full eval pass → mean + per-class Chamfer / F1@τ / F1@2τ."""
+             mesh_devices=None, dump_meshes_to: Optional[str] = None
+             ) -> Dict[str, Any]:
+    """Full eval pass → mean + per-class Chamfer / F1@τ / F1@2τ.
+
+    ``dump_meshes_to``: directory for qualitative sample-mesh .obj dumps (the
+    reference's eyeballing workflow, SURVEY.md §5 metrics/logging)."""
     devmesh = mesh_devices or make_mesh_for_batch(eval_config.batch_size)
     step = make_eval_step(model, config, eval_config)
     init_mesh = replicate_tree(
@@ -150,7 +162,14 @@ def evaluate(params, model, config: TrainConfig, dataset, indices,
     for i, batch in enumerate(it):
         key, sub = jax.random.split(key)
         res = step(params, shard_batch(batch, devmesh), init_mesh, sub)
+        pred_mesh = res.pop("mesh")
         res = jax.device_get(res)
+        if dump_meshes_to is not None and i == 0:
+            os.makedirs(dump_meshes_to, exist_ok=True)
+            for j in range(min(4, pred_mesh.batch_size)):
+                save_mesh_buffer_sample(
+                    os.path.join(dump_meshes_to, f"sample{j:02d}.obj"),
+                    jax.device_get(pred_mesh), j)
         for k in rows:
             rows[k].append(np.asarray(res[k]))
     if not rows["chamfer"]:
@@ -257,8 +276,11 @@ def train_geometrics(config: TrainConfig,
             ckpt.save(step, {"params": jax.device_get(params), "step": step},
                       wait=True)
         if (epoch + 1) % config.eval_every_epochs == 0:
-            eval_result = evaluate(params, model, config, dataset, test_idx,
-                                   mesh_devices=devmesh)
+            eval_result = evaluate(
+                params, model, config, dataset, test_idx,
+                mesh_devices=devmesh,
+                dump_meshes_to=os.path.join(config.checkpoint_dir, "samples",
+                                            f"epoch{epoch + 1:04d}"))
             logger.log(step, {f"eval_{k}": v for k, v in eval_result.items()
                               if not isinstance(v, dict)})
         if max_steps is not None and step >= max_steps:

@@ -106,3 +106,49 @@ def test_aggregation_jits_and_grads(rng):
     g = jax.grad(loss)(feats)
     assert g.shape == feats.shape
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_dense_mode_matches_segment_mode():
+    """GraphConv with precomputed dense Â must equal the segment path."""
+    import jax
+    import jax.numpy as jnp
+    from geometrics_tpu.core.adjacency import (
+        aggregate_neighbors_batched, aggregate_neighbors_dense,
+        normalized_adjacency_dense_batched)
+    from geometrics_tpu.core.mesh import icosphere_np, make_mesh_buffer
+
+    verts, faces = icosphere_np(1)
+    m = make_mesh_buffer(verts, faces, 64, 160, 2)
+    feats = jax.random.normal(jax.random.PRNGKey(2), (2, 64, 16))
+    feats = feats * m.vert_mask[..., None]
+    seg = aggregate_neighbors_batched(feats, m.faces, m.face_mask)
+    adj = normalized_adjacency_dense_batched(m.faces, m.face_mask, 64)
+    den = aggregate_neighbors_dense(feats, adj)
+    np.testing.assert_allclose(np.asarray(seg), np.asarray(den),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_dense_mode_model_forward_matches():
+    """Whole deformation block agrees between adjacency modes."""
+    import jax
+    import jax.numpy as jnp
+    from geometrics_tpu.core.mesh import icosphere_np, make_mesh_buffer
+    from geometrics_tpu.models.gcn import GCNDeformationBlock
+
+    verts, faces = icosphere_np(1)
+    m = make_mesh_buffer(verts, faces, 64, 160, 2)
+    pooled = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 8))
+    pooled = pooled * m.vert_mask[..., None]
+    kw = dict(hidden=16, depth=2, out_features=8)
+    blk_s = GCNDeformationBlock(adjacency_mode="segment", **kw)
+    blk_d = GCNDeformationBlock(adjacency_mode="dense", **kw)
+    params = blk_s.init(jax.random.PRNGKey(1), m.verts, pooled, None,
+                        m.faces, m.face_mask, m.vert_mask)["params"]
+    d_s, f_s = blk_s.apply({"params": params}, m.verts, pooled, None,
+                           m.faces, m.face_mask, m.vert_mask)
+    d_d, f_d = blk_d.apply({"params": params}, m.verts, pooled, None,
+                           m.faces, m.face_mask, m.vert_mask)
+    np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_d),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_s), np.asarray(f_d),
+                               rtol=1e-4, atol=1e-4)
