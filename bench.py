@@ -51,7 +51,8 @@ def bench_jax(batch_size: int, steps: int, warmup: int, splits: int,
     on_tpu = jax.default_backend() in ("tpu", "axon")
     config = TrainConfig(
         model=ModelConfig(splits_per_round=splits, split_threshold=0.0,
-                          bfloat16=on_tpu),
+                          bfloat16=on_tpu, scan_layers=True,
+                          adjacency_mode="dense"),
         mesh=MeshBudget(subdivisions=2, v_max=384, f_max=960),
         batch_size=batch_size,
         surface_samples=surface_samples,

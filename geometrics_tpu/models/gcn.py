@@ -88,6 +88,9 @@ class GCNDeformationBlock(nn.Module):
     depth: int = 6
     out_features: int = 192
     adjacency_mode: str = "segment"  # "segment" | "dense" (MXU matmul)
+    scan_layers: bool = False  # lax.scan over the residual stack: ~depth×
+                               # smaller HLO → much faster TPU first-compile;
+                               # params become stacked [depth, ...]
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -114,10 +117,21 @@ class GCNDeformationBlock(nn.Module):
         h = GraphConv(self.hidden, dtype=self.dtype, name="lift")(
             h, faces, face_mask, vert_mask, adj)
         h = nn.relu(h)
-        for i in range(self.depth):
-            r = GraphConv(self.hidden, dtype=self.dtype, name=f"conv{i}")(
-                h, faces, face_mask, vert_mask, adj)
-            h = nn.relu(h + r)  # residual keeps deep stacks trainable
+        if self.scan_layers:
+            def body(block, h, _):
+                r = block(h, faces, face_mask, vert_mask, adj)
+                return nn.relu(h + r), None
+
+            scanned = nn.scan(
+                body, variable_axes={"params": 0}, split_rngs={"params": True},
+                length=self.depth)
+            h, _ = scanned(GraphConv(self.hidden, dtype=self.dtype,
+                                     name="convs"), h, None)
+        else:
+            for i in range(self.depth):
+                r = GraphConv(self.hidden, dtype=self.dtype, name=f"conv{i}")(
+                    h, faces, face_mask, vert_mask, adj)
+                h = nn.relu(h + r)  # residual keeps deep stacks trainable
 
         delta = nn.Dense(
             3, dtype=self.dtype, kernel_init=nn.initializers.zeros,

@@ -56,6 +56,8 @@ class GEOMetricsModel(nn.Module):
     splits_per_round: int = 0
     split_threshold: float = 0.0
     adjacency_mode: str = "segment"  # "segment" | "dense" (see models/gcn.py)
+    scan_layers: bool = False        # lax.scan over GCN depth (fast compile)
+    remat: bool = False              # rematerialize blocks (HBM ↓, FLOPs ↑)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -70,10 +72,15 @@ class GEOMetricsModel(nn.Module):
         for b in range(self.num_blocks):
             pooled = perceptual_pool(
                 feature_maps, mesh.verts, camera, self.image_size, self.fov_deg)
-            delta, carried = GCNDeformationBlock(
+            block_cls = GCNDeformationBlock
+            if self.remat:
+                block_cls = nn.remat(GCNDeformationBlock,
+                                     static_argnums=())
+            delta, carried = block_cls(
                 hidden=self.hidden, depth=self.block_depth,
                 out_features=self.carried_dim, dtype=self.dtype,
                 adjacency_mode=self.adjacency_mode,
+                scan_layers=self.scan_layers,
                 name=f"block{b}",
             )(mesh.verts, pooled, carried, mesh.faces, mesh.face_mask,
               mesh.vert_mask)

@@ -37,6 +37,8 @@ class ModelConfig:
     splits_per_round: int = 0      # 0 = fixed topology (config [B:8])
     split_threshold: float = 0.0
     adjacency_mode: str = "segment"  # "segment" | "dense" (MXU matmul path)
+    scan_layers: bool = False       # lax.scan over GCN depth (fast compile)
+    remat: bool = False             # rematerialize deformation blocks
     bfloat16: bool = False          # compute dtype for conv/matmul stacks
 
 
@@ -83,6 +85,8 @@ class TrainConfig:
     save_every_epochs: int = 5
     use_fused_chamfer: bool = True  # Pallas kernel on TPU, lax fallback on CPU
     multi_stage_chamfer: bool = True
+    debug_nan_checks: bool = False  # checkify float guards on the train step
+    profile_dir: Optional[str] = None  # jax.profiler trace output directory
     # data
     num_classes: int = 13
     models_per_class: int = 32

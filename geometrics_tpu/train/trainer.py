@@ -39,6 +39,7 @@ def build_model(config: TrainConfig) -> GEOMetricsModel:
         block_depth=m.block_depth, carried_dim=m.carried_dim,
         cnn_widths=m.cnn_widths, splits_per_round=m.splits_per_round,
         split_threshold=m.split_threshold, adjacency_mode=m.adjacency_mode,
+        scan_layers=m.scan_layers, remat=m.remat,
         dtype=jnp.bfloat16 if m.bfloat16 else None)
 
 
@@ -106,6 +107,10 @@ def make_train_step(model: GEOMetricsModel, tx: optax.GradientTransformation,
             params = optax.apply_updates(params, updates)
         return params, opt_state, aux
 
+    if config.debug_nan_checks:
+        from ..utils.debug import checkify_step
+
+        return checkify_step(step)
     return step
 
 
@@ -264,8 +269,14 @@ def train_geometrics(config: TrainConfig,
             batch["gt_points"] = batch["gt_points"][:, :config.gt_points]
             batch = shard_batch(batch, devmesh)
             key, sub = jax.random.split(key)
+            # profile a short post-warmup window when requested (§5 tracing)
+            if config.profile_dir and step == 5:
+                jax.profiler.start_trace(config.profile_dir)
             params, opt_state, aux = step_fn(params, opt_state, batch,
                                              init_mesh, sub)
+            if config.profile_dir and step == 10:
+                jax.block_until_ready(aux["total"])
+                jax.profiler.stop_trace()
             if step % config.log_every == 0:
                 logger.log(step, aux, epoch=epoch)
             step += 1
