@@ -98,7 +98,7 @@ def generate_shape(class_id: int, model_id: int, seed: int = 0,
         r = r * (1.0 - 0.3 * np.clip(d[:, 0], 0, 1))
     elif name == "capsule":
         scales = np.array([rng.uniform(0.35, 0.5), 1.0, rng.uniform(0.35, 0.5)])
-        r = 1.0
+        r = np.ones(len(v))
     elif name == "star":
         r = 1.0 + rng.uniform(0.15, 0.3) * np.cos(5.0 * np.arctan2(d[:, 2], d[:, 0])) * (
             1.0 - d[:, 1] ** 2)

@@ -87,6 +87,9 @@ class TrainConfig:
     multi_stage_chamfer: bool = True
     debug_nan_checks: bool = False  # checkify float guards on the train step
     profile_dir: Optional[str] = None  # jax.profiler trace output directory
+    device_data_cache: bool = True  # upload the train split to HBM once and
+                                    # assemble batches on-device (zero per-step
+                                    # host transfer); needs split to fit HBM
     # data
     num_classes: int = 13
     models_per_class: int = 32

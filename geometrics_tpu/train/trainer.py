@@ -80,7 +80,8 @@ def make_encode_fn(config: TrainConfig, encoder_params) -> Callable:
 
 
 def make_train_step(model: GEOMetricsModel, tx: optax.GradientTransformation,
-                    config: TrainConfig, encoder_params=None):
+                    config: TrainConfig, encoder_params=None,
+                    from_cache: bool = False):
     chamfer_fn = chamfer_distance
     if config.use_fused_chamfer:
         from ..ops import chamfer as fused_chamfer  # lax fallback off-TPU
@@ -98,14 +99,26 @@ def make_train_step(model: GEOMetricsModel, tx: optax.GradientTransformation,
             multi_stage_chamfer=config.multi_stage_chamfer)
         return total, aux
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, batch, init_mesh, key):
+    def _update(params, opt_state, batch, init_mesh, key):
         with trace_annotation("geometrics/train_step"):
             (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, batch, init_mesh, key)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
         return params, opt_state, aux
+
+    if from_cache:
+        # device-resident data: batch assembled on-device from an index
+        # vector (data/device_cache.py) — no per-step host transfer
+        from ..data.device_cache import DeviceDataCache
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(params, opt_state, data, idx, init_mesh, key):
+            batch = DeviceDataCache.gather(data, idx)
+            batch["gt_points"] = batch["gt_points"][:, :config.gt_points]
+            return _update(params, opt_state, batch, init_mesh, key)
+    else:
+        step = functools.partial(jax.jit, donate_argnums=(0, 1))(_update)
 
     if config.debug_nan_checks:
         from ..utils.debug import checkify_step
@@ -251,29 +264,52 @@ def train_geometrics(config: TrainConfig,
     opt_state = replicate_tree(opt_state, devmesh)
     init_mesh = replicate_tree(init_mesh_host, devmesh)
 
-    step_fn = make_train_step(model, tx, config, encoder_params)
-    logger = MetricsLogger(config.checkpoint_dir, "train_metrics")
-    ckpt = Checkpointer(config.checkpoint_dir)
-    it = BatchIterator(dataset, config.batch_size, seed=config.seed,
-                       indices=train_idx)
-
     feed_keys = ("image", "azimuth", "elevation", "distance", "gt_points",
                  "gt_verts", "gt_faces")
+    use_cache = config.device_data_cache
+    step_fn = make_train_step(model, tx, config, encoder_params,
+                              from_cache=use_cache)
+    logger = MetricsLogger(config.checkpoint_dir, "train_metrics")
+    ckpt = Checkpointer(config.checkpoint_dir)
+
+    if use_cache:
+        from ..data.device_cache import DeviceDataCache
+        from ..parallel.sharding import data_sharding
+
+        present = [k for k in feed_keys if k in dataset.get(int(train_idx[0]))]
+        cache = DeviceDataCache(dataset, train_idx, present, devmesh)
+        idx_sharding = data_sharding(devmesh)
+        idx_rng = np.random.default_rng(config.seed + 2)
+        logger.log(0, {"device_cache_mb": cache.nbytes() / 2**20})
+    else:
+        it = BatchIterator(dataset, config.batch_size, seed=config.seed,
+                           indices=train_idx)
+
     key = jax.random.PRNGKey(config.seed + 1)
     step = 0
     aux: Dict[str, Any] = {}
     eval_result: Dict[str, Any] = {}
     for epoch in range(config.epochs):
-        for batch in it:
-            batch = {k: batch[k] for k in feed_keys if k in batch}
-            batch["gt_points"] = batch["gt_points"][:, :config.gt_points]
-            batch = shard_batch(batch, devmesh)
+        if use_cache:
+            batches = cache.epoch_indices(config.batch_size, idx_rng)
+        else:
+            batches = it
+        for batch in batches:
             key, sub = jax.random.split(key)
             # profile a short post-warmup window when requested (§5 tracing)
             if config.profile_dir and step == 5:
                 jax.profiler.start_trace(config.profile_dir)
-            params, opt_state, aux = step_fn(params, opt_state, batch,
-                                             init_mesh, sub)
+            if use_cache:
+                idx = jax.device_put(batch, idx_sharding)
+                params, opt_state, aux = step_fn(params, opt_state,
+                                                 cache.arrays, idx,
+                                                 init_mesh, sub)
+            else:
+                batch = {k: batch[k] for k in feed_keys if k in batch}
+                batch["gt_points"] = batch["gt_points"][:, :config.gt_points]
+                batch = shard_batch(batch, devmesh)
+                params, opt_state, aux = step_fn(params, opt_state, batch,
+                                                 init_mesh, sub)
             if config.profile_dir and step == 10:
                 jax.block_until_ready(aux["total"])
                 jax.profiler.stop_trace()
