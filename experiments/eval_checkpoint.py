@@ -1,0 +1,80 @@
+"""Score a trained checkpoint: Chamfer + F1@τ/2τ, mean and per-class.
+
+The reference's ``--eval`` path (SURVEY.md §3.4) as a standalone tool:
+
+  python experiments/eval_checkpoint.py --run_dir runs/full_r1 \
+      [--data_root data/synthetic_shapenet] [--split test] [--cpu true]
+
+Reads ``<run_dir>/config.json`` (written by the trainer) to rebuild the exact
+model, restores the latest checkpoint, and prints the eval JSON.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalArgs:
+    run_dir: str = "runs/full_r1"
+    data_root: str = "data/synthetic_shapenet"
+    split: str = "test"
+    batch_size: int = 13
+    cpu: bool = False
+
+
+def config_from_json(d: dict):
+    from geometrics_tpu.train.config import (
+        MeshBudget, ModelConfig, TrainConfig)
+    from geometrics_tpu.train.losses import LossWeights
+
+    return TrainConfig(
+        model=ModelConfig(**{**d["model"],
+                             "cnn_widths": tuple(d["model"]["cnn_widths"])}),
+        mesh=MeshBudget(**d["mesh"]),
+        loss=LossWeights(**d["loss"]),
+        **{k: (None if v == "None" else v) for k, v in d.items()
+           if k not in ("model", "mesh", "loss")})
+
+
+def main() -> None:
+    from geometrics_tpu.utils.cli import parse_into
+
+    args = parse_into(EvalArgs())
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    from geometrics_tpu.data.shapenet import PreparedDataset
+    from geometrics_tpu.train.config import EvalConfig
+    from geometrics_tpu.train.trainer import build_model, evaluate
+    from geometrics_tpu.utils.checkpoint import Checkpointer
+
+    with open(os.path.join(args.run_dir, "config.json")) as fh:
+        config = config_from_json(json.load(fh))
+    model = build_model(config)
+
+    ckpt = Checkpointer(args.run_dir)
+    step = ckpt.latest_step()
+    # restore with abstract None → orbax standard restore of raw arrays
+    restored = ckpt._mgr.restore(step)
+    params = restored["params"]
+    print(f"[eval] restored step {step} from {args.run_dir}", flush=True)
+
+    ds = PreparedDataset(args.data_root, args.split)
+    result = evaluate(params, model, config, ds, np.arange(len(ds)),
+                      eval_config=EvalConfig(batch_size=args.batch_size),
+                      dump_meshes_to=os.path.join(args.run_dir, "eval_samples"))
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""Full 13-class quality run (config [B:11]) on the prepared synthetic set.
+
+Orchestrates the reference's two-script workflow end-to-end:
+  1. (optional) AE pretrain → frozen MeshEncoder checkpoint   [auto_encoder.py]
+  2. main training with the composite loss + eval              [GEOMetrics.py]
+Writes eval JSON (mean + per-class Chamfer / F1@τ / F1@2τ) to
+``<run_dir>/eval.json`` and sample meshes under ``<run_dir>/samples/``.
+
+Usage:
+  python experiments/run_full.py --run_dir runs/full_r1 --epochs 40 \
+      [--with_latent true] [--data_root data/synthetic_shapenet]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+
+@dataclasses.dataclass(frozen=True)
+class RunArgs:
+    run_dir: str = "runs/full_r1"
+    data_root: str = "data/synthetic_shapenet"
+    epochs: int = 40
+    with_latent: bool = False
+    ae_epochs: int = 15
+    eval_every: int = 10
+    cpu: bool = False
+
+
+def main() -> None:
+    from geometrics_tpu.utils.cli import parse_into
+
+    args = parse_into(RunArgs())
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from geometrics_tpu.data.shapenet import PreparedDataset
+    from geometrics_tpu.train.presets import autoencoder_config, full_config
+
+    train_ds = PreparedDataset(args.data_root, "train")
+    test_ds = PreparedDataset(args.data_root, "test")
+    print(f"[run] {len(train_ds)} train / {len(test_ds)} test samples",
+          flush=True)
+
+    encoder_dir = None
+    if args.with_latent:
+        from geometrics_tpu.train.autoencoder import train_autoencoder
+
+        ae_cfg = dataclasses.replace(
+            autoencoder_config(os.path.join(args.run_dir, "ae")),
+            epochs=args.ae_epochs)
+        t0 = time.time()
+        ae_out = train_autoencoder(ae_cfg, dataset=train_ds)
+        print(f"[run] AE done in {time.time()-t0:.0f}s: "
+              f"{json.dumps({k: float(v) for k, v in ae_out['metrics'].items()})}",
+              flush=True)
+        encoder_dir = ae_cfg.checkpoint_dir
+
+    from geometrics_tpu.train.trainer import train_geometrics
+
+    cfg = dataclasses.replace(
+        full_config(args.run_dir, encoder_dir or "unused"),
+        epochs=args.epochs, eval_every_epochs=args.eval_every,
+        save_every_epochs=args.eval_every, eval_batch_size=13,
+        encoder_checkpoint=encoder_dir)
+    if not args.with_latent:
+        cfg = dataclasses.replace(
+            cfg, loss=dataclasses.replace(cfg.loss, latent=0.0))
+
+    t0 = time.time()
+    result = train_geometrics(cfg, dataset=train_ds, test_dataset=test_ds)
+    print(f"[run] training done in {time.time()-t0:.0f}s", flush=True)
+
+    ev = result["eval"]
+    with open(os.path.join(args.run_dir, "eval.json"), "w") as fh:
+        json.dump(ev, fh, indent=2)
+    print(json.dumps({k: v for k, v in ev.items() if not isinstance(v, dict)}),
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

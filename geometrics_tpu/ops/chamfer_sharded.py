@@ -1,0 +1,91 @@
+"""Point-axis-sharded Chamfer — the context-parallel analog for point sets.
+
+SURVEY.md §5 (long-context entry): the reference "scales" point-set size by
+materializing O(N·M) matrices on one device.  Here, when a GT point cloud
+exceeds one chip's HBM (or to parallelize eval across the slice), the GT
+axis is sharded over the ('data',) mesh: each device computes row-mins of
+its local N×M_shard block (tiled, never materialized — same kernel/lax core
+as ops/chamfer), then a ``psum``-style minimum across devices combines the
+partials.  This is the online-softmax/ring-attention moral equivalent for
+min-reductions: communication is O(N) per device instead of O(N·M_shard).
+
+Built on ``shard_map`` so the collective (`jax.lax.pmin`) rides ICI
+explicitly; exercised on the virtual 8-device CPU mesh in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:
+    from jax import shard_map  # jax >= 0.7 public API
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+from ..core.chamfer import nearest_sqdists
+
+
+def sharded_chamfer(
+    x: jax.Array,          # [N, 3] replicated
+    y: jax.Array,          # [M, 3] — will be sharded over the mesh axis
+    mesh: Mesh,
+    axis: str = "data",
+) -> jax.Array:
+    """Symmetric Chamfer with the y (GT) point axis sharded over ``axis``.
+
+    ``M`` must be divisible by the mesh axis size.  Returns a replicated
+    scalar equal to the single-device ``chamfer_distance(x[None], y[None])``.
+    """
+    n_dev = mesh.shape[axis]
+    m = y.shape[0]
+    if m % n_dev:
+        raise ValueError(f"M={m} not divisible by mesh axis {axis}={n_dev}")
+
+    def local(x_full, y_shard):
+        # row mins against the local GT shard → combine with pmin (ICI)
+        d_xy_local, d_yx_local = nearest_sqdists(
+            x_full[None], y_shard[None])
+        d_xy = jax.lax.pmin(d_xy_local[0], axis)          # [N] global mins
+        term_x = jnp.mean(d_xy)
+        # each device owns its y-shard's nearest-x distances fully
+        term_y = jax.lax.pmean(jnp.mean(d_yx_local[0]), axis)
+        return term_x + term_y
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=P(),
+    )
+    return fn(x, y)
+
+
+def sharded_f1(
+    pred: jax.Array,       # [N, 3] replicated
+    gt: jax.Array,         # [M, 3] sharded over ``axis``
+    mesh: Mesh,
+    tau: float = 1e-4,
+    axis: str = "data",
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """F1@τ with the GT axis sharded (eval-path variant). → (f1, P, R)."""
+    n_dev = mesh.shape[axis]
+    if gt.shape[0] % n_dev:
+        raise ValueError("gt axis not divisible by mesh")
+
+    def local(p_full, g_shard):
+        d_pg_local, d_gp_local = nearest_sqdists(p_full[None], g_shard[None])
+        d_pg = jax.lax.pmin(d_pg_local[0], axis)
+        precision = jnp.mean((d_pg < tau).astype(jnp.float32))
+        recall = jax.lax.pmean(
+            jnp.mean((d_gp_local[0] < tau).astype(jnp.float32)), axis)
+        denom = jnp.maximum(precision + recall, 1e-12)
+        f1 = jnp.where(denom > 1e-12, 2 * precision * recall / denom, 0.0)
+        return f1, precision, recall
+
+    fn = shard_map(local, mesh=mesh, in_specs=(P(), P(axis)),
+                   out_specs=(P(), P(), P()))
+    return fn(pred, gt)

@@ -83,6 +83,7 @@ class TrainConfig:
     log_every: int = 10
     eval_every_epochs: int = 5
     save_every_epochs: int = 5
+    eval_batch_size: int = 16   # (must divide the eval set to cover it fully)
     use_fused_chamfer: bool = True  # Pallas kernel on TPU, lax fallback on CPU
     multi_stage_chamfer: bool = True
     debug_nan_checks: bool = False  # checkify float guards on the train step

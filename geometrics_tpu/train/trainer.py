@@ -213,20 +213,28 @@ def evaluate(params, model, config: TrainConfig, dataset, indices,
 
 
 def train_geometrics(config: TrainConfig,
-                     dataset: Optional[SyntheticShapeDataset] = None,
+                     dataset: Optional[Any] = None,
                      encoder_params=None,
-                     max_steps: Optional[int] = None) -> Dict[str, Any]:
+                     max_steps: Optional[int] = None,
+                     test_dataset: Optional[Any] = None) -> Dict[str, Any]:
     """Full training run; returns {'params', 'metrics', 'eval', …}.
 
     ``encoder_params`` may be passed directly (tests) or loaded from
-    ``config.encoder_checkpoint`` (the AE handoff).
+    ``config.encoder_checkpoint`` (the AE handoff).  ``dataset`` may be a
+    SyntheticShapeDataset (split by ``config.test_fraction``) or a
+    PreparedDataset train split with ``test_dataset`` its test split.
     """
     if dataset is None:
         dataset = SyntheticShapeDataset(SyntheticConfig(
             num_classes=config.num_classes,
             models_per_class=config.models_per_class,
             gt_points=max(config.gt_points, 2048), seed=config.seed))
-    train_idx, test_idx = train_test_split(dataset, config.test_fraction)
+    if test_dataset is not None:
+        train_idx = np.arange(len(dataset))
+        eval_dataset, test_idx = test_dataset, np.arange(len(test_dataset))
+    else:
+        train_idx, test_idx = train_test_split(dataset, config.test_fraction)
+        eval_dataset = dataset
 
     model = build_model(config)
     init_mesh_host = build_init_mesh(config, config.batch_size)
@@ -271,6 +279,13 @@ def train_geometrics(config: TrainConfig,
                               from_cache=use_cache)
     logger = MetricsLogger(config.checkpoint_dir, "train_metrics")
     ckpt = Checkpointer(config.checkpoint_dir)
+    # persist the config so eval tooling can rebuild the exact model
+    import dataclasses as _dc
+    import json as _json
+
+    os.makedirs(config.checkpoint_dir, exist_ok=True)
+    with open(os.path.join(config.checkpoint_dir, "config.json"), "w") as fh:
+        _json.dump(_dc.asdict(config), fh, indent=2, default=str)
 
     if use_cache:
         from ..data.device_cache import DeviceDataCache
@@ -324,7 +339,8 @@ def train_geometrics(config: TrainConfig,
                       wait=True)
         if (epoch + 1) % config.eval_every_epochs == 0:
             eval_result = evaluate(
-                params, model, config, dataset, test_idx,
+                params, model, config, eval_dataset, test_idx,
+                eval_config=EvalConfig(batch_size=config.eval_batch_size),
                 mesh_devices=devmesh,
                 dump_meshes_to=os.path.join(config.checkpoint_dir, "samples",
                                             f"epoch{epoch + 1:04d}"))

@@ -1,0 +1,51 @@
+"""Point-axis-sharded Chamfer/F1 vs single-device oracle on the 8-dev CPU
+mesh (SURVEY.md §5 long-context / CP-analog)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from geometrics_tpu.core.chamfer import chamfer_distance, f1_score
+from geometrics_tpu.ops.chamfer_sharded import sharded_chamfer, sharded_f1
+from geometrics_tpu.parallel import make_mesh
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    m = make_mesh()
+    if m.shape["data"] < 2:
+        pytest.skip("needs multi-device mesh")
+    return m
+
+
+def test_sharded_chamfer_matches_oracle(mesh8):
+    r = np.random.default_rng(0)
+    x = jnp.asarray(r.normal(size=(96, 3)).astype(np.float32))
+    y = jnp.asarray(r.normal(size=(128, 3)).astype(np.float32))
+    got = jax.jit(lambda a, b: sharded_chamfer(a, b, mesh8))(x, y)
+    want = chamfer_distance(x[None], y[None])[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_f1_matches_oracle(mesh8):
+    r = np.random.default_rng(1)
+    x = jnp.asarray((r.normal(size=(96, 3)) * 0.1).astype(np.float32))
+    y = jnp.asarray((r.normal(size=(128, 3)) * 0.1).astype(np.float32))
+    f1, p, rec = jax.jit(
+        lambda a, b: sharded_f1(a, b, mesh8, tau=1e-2))(x, y)
+    want_f1, want_p, want_r = f1_score(x[None], y[None], tau=1e-2)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(want_f1[0]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(want_p[0]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(want_r[0]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_indivisible_raises(mesh8):
+    x = jnp.zeros((8, 3))
+    y = jnp.zeros((13, 3))
+    with pytest.raises(ValueError):
+        sharded_chamfer(x, y, mesh8)
