@@ -24,6 +24,9 @@ class MeshBudget:
     v_max: int = 640               # vertex slack for splitting
     f_max: int = 1536              # face slack (>= faces0 + 2*total_splits)
     init_radius: float = 0.5
+    init_obj: Optional[str] = None  # path to a bundled init-mesh .obj
+                                    # (reference §2.1 #13); overrides the
+                                    # generated icosphere when set
 
 
 @dataclass(frozen=True)
@@ -91,6 +94,8 @@ class TrainConfig:
     device_data_cache: bool = True  # upload the train split to HBM once and
                                     # assemble batches on-device (zero per-step
                                     # host transfer); needs split to fit HBM
+    resume: bool = True             # restore latest checkpoint in
+                                    # checkpoint_dir (params+opt+step) if any
     # data
     num_classes: int = 13
     models_per_class: int = 32

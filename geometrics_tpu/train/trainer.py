@@ -44,9 +44,19 @@ def build_model(config: TrainConfig) -> GEOMetricsModel:
 
 
 def build_init_mesh(config: TrainConfig, batch_size: int) -> MeshBuffer:
-    """The init-sphere template (reference: bundled .obj asset, §2.1 #13)."""
-    verts, faces = icosphere_np(
-        subdivisions=config.mesh.subdivisions, radius=config.mesh.init_radius)
+    """The init-sphere template (reference: bundled .obj asset, §2.1 #13).
+
+    Generated icosphere by default; ``mesh.init_obj`` loads a bundled .obj
+    (assets/init_sphere.obj ships the default sphere in the reference's
+    asset form)."""
+    if config.mesh.init_obj:
+        from ..core.mesh import load_obj_np
+
+        verts, faces = load_obj_np(config.mesh.init_obj)
+    else:
+        verts, faces = icosphere_np(
+            subdivisions=config.mesh.subdivisions,
+            radius=config.mesh.init_radius)
     return make_mesh_buffer(
         verts, faces, v_max=config.mesh.v_max, f_max=config.mesh.f_max,
         batch_size=batch_size)
@@ -287,6 +297,22 @@ def train_geometrics(config: TrainConfig,
     with open(os.path.join(config.checkpoint_dir, "config.json"), "w") as fh:
         _json.dump(_dc.asdict(config), fh, indent=2, default=str)
 
+    def _snapshot(params_, opt_state_, step_):
+        return {"params": jax.device_get(params_),
+                "opt_state": jax.device_get(opt_state_), "step": step_}
+
+    start_step = 0
+    if config.resume and ckpt.latest_step() is not None:
+        try:
+            restored = ckpt.restore(_snapshot(params, opt_state, 0))
+            params = replicate_tree(restored["params"], devmesh)
+            opt_state = replicate_tree(restored["opt_state"], devmesh)
+            start_step = int(restored["step"])
+            logger.log(start_step, {"resumed_from": start_step})
+        except Exception as e:  # incompatible snapshot → fresh start
+            print(f"[trainer] resume failed ({type(e).__name__}); "
+                  f"starting fresh", flush=True)
+
     if use_cache:
         from ..data.device_cache import DeviceDataCache
         from ..parallel.sharding import data_sharding
@@ -301,7 +327,7 @@ def train_geometrics(config: TrainConfig,
                            indices=train_idx)
 
     key = jax.random.PRNGKey(config.seed + 1)
-    step = 0
+    step = start_step
     aux: Dict[str, Any] = {}
     eval_result: Dict[str, Any] = {}
     for epoch in range(config.epochs):
@@ -335,8 +361,7 @@ def train_geometrics(config: TrainConfig,
                 break
         if (epoch + 1) % config.save_every_epochs == 0 or (
                 max_steps is not None and step >= max_steps):
-            ckpt.save(step, {"params": jax.device_get(params), "step": step},
-                      wait=True)
+            ckpt.save(step, _snapshot(params, opt_state, step), wait=True)
         if (epoch + 1) % config.eval_every_epochs == 0:
             eval_result = evaluate(
                 params, model, config, eval_dataset, test_idx,
@@ -348,7 +373,7 @@ def train_geometrics(config: TrainConfig,
                               if not isinstance(v, dict)})
         if max_steps is not None and step >= max_steps:
             break
-    ckpt.save(step, {"params": jax.device_get(params), "step": step}, wait=True)
+    ckpt.save(step, _snapshot(params, opt_state, step), wait=True)
     logger.close()
     return {"params": params, "model": model, "metrics": jax.device_get(aux),
             "eval": eval_result, "checkpoint_dir": config.checkpoint_dir,

@@ -163,3 +163,37 @@ def test_entry_compiles():
     out = jax.jit(fn)(*example_args)
     jax.block_until_ready(out)
     assert np.all(np.isfinite(np.asarray(out[0])))
+
+
+def test_resume_restores_step(tiny_dataset, tmp_path):
+    """Checkpoint/resume (SURVEY.md §5): params+opt+step roundtrip."""
+    cfg = _tiny_train_config(tmp_path, epochs=1)
+    out1 = train_geometrics(cfg, dataset=tiny_dataset, max_steps=1)
+    out2 = train_geometrics(cfg, dataset=tiny_dataset, max_steps=2)
+    # second run resumed at step 1 and took exactly one more step
+    import orbax.checkpoint as _  # noqa
+    from geometrics_tpu.utils.checkpoint import Checkpointer
+
+    ck = Checkpointer(str(tmp_path / "run"))
+    assert ck.latest_step() == 2
+
+
+def test_init_obj_asset(tmp_path):
+    """Bundled .obj init mesh loads identically to the generated icosphere."""
+    import jax.numpy as jnp
+
+    from geometrics_tpu.core.mesh import icosphere_np, save_obj_np
+    from geometrics_tpu.train.trainer import build_init_mesh
+
+    v, f = icosphere_np(1, radius=0.5)
+    p = str(tmp_path / "sphere.obj")
+    save_obj_np(p, v, f)
+    cfg = _tiny_train_config(tmp_path)
+    cfg2 = TrainConfig(**{**cfg.__dict__,
+                          "mesh": MeshBudget(subdivisions=1, v_max=64,
+                                             f_max=160, init_obj=p)})
+    a = build_init_mesh(cfg, 2)
+    b = build_init_mesh(cfg2, 2)
+    np.testing.assert_allclose(np.asarray(a.verts), np.asarray(b.verts),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(a.faces), np.asarray(b.faces))
