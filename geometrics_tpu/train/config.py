@@ -73,6 +73,8 @@ class TrainConfig:
     loss: LossWeights = field(default_factory=LossWeights)
     batch_size: int = 16
     learning_rate: float = 3e-4
+    lr_schedule: str = "constant"   # "constant" | "cosine" (decay to 3% over
+                                    # the run, 5% linear warmup)
     epochs: int = 50
     surface_samples: int = 2048    # points sampled from pred mesh per loss eval
     gt_points: int = 2048          # GT points used per step (subset of stored)
@@ -96,6 +98,9 @@ class TrainConfig:
                                     # host transfer); needs split to fit HBM
     resume: bool = True             # restore latest checkpoint in
                                     # checkpoint_dir (params+opt+step) if any
+    steps_per_call: int = 1         # >1: lax.scan K train steps per dispatch
+                                    # (cached-data path only) — amortizes
+                                    # host→device round-trip latency
     # data
     num_classes: int = 13
     models_per_class: int = 32

@@ -122,11 +122,29 @@ def make_train_step(model: GEOMetricsModel, tx: optax.GradientTransformation,
         # vector (data/device_cache.py) — no per-step host transfer
         from ..data.device_cache import DeviceDataCache
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def step(params, opt_state, data, idx, init_mesh, key):
+        def _cache_update(params, opt_state, data, idx, init_mesh, key):
             batch = DeviceDataCache.gather(data, idx)
             batch["gt_points"] = batch["gt_points"][:, :config.gt_points]
             return _update(params, opt_state, batch, init_mesh, key)
+
+        if config.steps_per_call > 1:
+            # lax.scan over K steps per dispatch: ONE host round trip per K
+            # steps (the per-call transfer latency through a remote-TPU relay
+            # otherwise dominates wall clock at ~ms-scale step times)
+            @functools.partial(jax.jit, donate_argnums=(0, 1))
+            def step(params, opt_state, data, idxs, init_mesh, keys):
+                def body(carry, xs):
+                    p, o = carry
+                    idx, key = xs
+                    p, o, aux = _cache_update(p, o, data, idx, init_mesh, key)
+                    return (p, o), aux
+                (params, opt_state), auxs = jax.lax.scan(
+                    body, (params, opt_state), (idxs, keys))
+                last_aux = jax.tree_util.tree_map(lambda a: a[-1], auxs)
+                return params, opt_state, last_aux
+        else:
+            step = functools.partial(jax.jit, donate_argnums=(0, 1))(
+                _cache_update)
     else:
         step = functools.partial(jax.jit, donate_argnums=(0, 1))(_update)
 
@@ -275,7 +293,16 @@ def train_geometrics(config: TrainConfig,
         encoder_params = restored["params"]["encoder"]
         del enc
 
-    tx = optax.adam(config.learning_rate)
+    steps_per_epoch = max(1, len(train_idx) // config.batch_size)
+    if config.lr_schedule == "cosine":
+        total = config.epochs * steps_per_epoch
+        sched = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=config.learning_rate,
+            warmup_steps=max(1, total // 20), decay_steps=total,
+            end_value=config.learning_rate * 0.03)
+        tx = optax.adam(sched)
+    else:
+        tx = optax.adam(config.learning_rate)
     opt_state = tx.init(params)
     devmesh = make_mesh_for_batch(config.batch_size)
     params = replicate_tree(params, devmesh)
@@ -330,23 +357,36 @@ def train_geometrics(config: TrainConfig,
     step = start_step
     aux: Dict[str, Any] = {}
     eval_result: Dict[str, Any] = {}
+    k_per_call = max(1, config.steps_per_call) if use_cache else 1
     for epoch in range(config.epochs):
         if use_cache:
-            batches = cache.epoch_indices(config.batch_size, idx_rng)
+            all_idx = list(cache.epoch_indices(config.batch_size, idx_rng))
+            groups = [np.stack(all_idx[i:i + k_per_call])
+                      for i in range(0, len(all_idx) - k_per_call + 1,
+                                     k_per_call)] if k_per_call > 1 else all_idx
         else:
-            batches = it
-        for batch in batches:
-            key, sub = jax.random.split(key)
+            groups = it
+        for group in groups:
             # profile a short post-warmup window when requested (§5 tracing)
             if config.profile_dir and step == 5:
                 jax.profiler.start_trace(config.profile_dir)
-            if use_cache:
-                idx = jax.device_put(batch, idx_sharding)
+            if use_cache and k_per_call > 1:
+                key, sub = jax.random.split(key)
+                keys = jax.random.split(sub, group.shape[0])
+                params, opt_state, aux = step_fn(params, opt_state,
+                                                 cache.arrays,
+                                                 jnp.asarray(group),
+                                                 init_mesh, keys)
+                step += group.shape[0] - 1
+            elif use_cache:
+                key, sub = jax.random.split(key)
+                idx = jax.device_put(group, idx_sharding)
                 params, opt_state, aux = step_fn(params, opt_state,
                                                  cache.arrays, idx,
                                                  init_mesh, sub)
             else:
-                batch = {k: batch[k] for k in feed_keys if k in batch}
+                key, sub = jax.random.split(key)
+                batch = {k: group[k] for k in feed_keys if k in group}
                 batch["gt_points"] = batch["gt_points"][:, :config.gt_points]
                 batch = shard_batch(batch, devmesh)
                 params, opt_state, aux = step_fn(params, opt_state, batch,
@@ -354,7 +394,7 @@ def train_geometrics(config: TrainConfig,
             if config.profile_dir and step == 10:
                 jax.block_until_ready(aux["total"])
                 jax.profiler.stop_trace()
-            if step % config.log_every == 0:
+            if step % config.log_every == 0 or k_per_call > 1:
                 logger.log(step, aux, epoch=epoch)
             step += 1
             if max_steps is not None and step >= max_steps:
