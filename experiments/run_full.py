@@ -32,6 +32,12 @@ class RunArgs:
     with_latent: bool = False
     ae_epochs: int = 15
     eval_every: int = 10
+    steps_per_call: int = 1
+    lr: float = 3e-4
+    lr_schedule: str = "constant"
+    edge_w: float = 0.15
+    lap_w: float = 0.1
+    move_w: float = 0.1
     cpu: bool = False
 
 
@@ -72,10 +78,13 @@ def main() -> None:
         full_config(args.run_dir, encoder_dir or "unused"),
         epochs=args.epochs, eval_every_epochs=args.eval_every,
         save_every_epochs=args.eval_every, eval_batch_size=13,
+        steps_per_call=args.steps_per_call, learning_rate=args.lr,
+        lr_schedule=args.lr_schedule,
         encoder_checkpoint=encoder_dir)
-    if not args.with_latent:
-        cfg = dataclasses.replace(
-            cfg, loss=dataclasses.replace(cfg.loss, latent=0.0))
+    cfg = dataclasses.replace(cfg, loss=dataclasses.replace(
+        cfg.loss, edge=args.edge_w, laplacian=args.lap_w,
+        laplacian_move=args.move_w,
+        latent=cfg.loss.latent if args.with_latent else 0.0))
 
     t0 = time.time()
     result = train_geometrics(cfg, dataset=train_ds, test_dataset=test_ds)

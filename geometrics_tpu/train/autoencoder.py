@@ -88,7 +88,10 @@ def train_autoencoder(config: AutoEncoderConfig,
             num_classes=config.num_classes,
             models_per_class=config.models_per_class,
             seed=config.seed, render=False, voxels=True))
-    train_idx, _ = train_test_split(dataset)
+    if hasattr(dataset, "config"):
+        train_idx, _ = train_test_split(dataset)
+    else:  # a PreparedDataset split: already train-only
+        train_idx = np.arange(len(dataset))
 
     model = MeshVoxelAE(
         latent_dim=config.latent_dim, encoder_hidden=config.encoder_hidden,
