@@ -38,6 +38,7 @@ class RunArgs:
     edge_w: float = 0.15
     lap_w: float = 0.1
     move_w: float = 0.1
+    log_every: int = 100
     cpu: bool = False
 
 
@@ -79,6 +80,7 @@ def main() -> None:
         epochs=args.epochs, eval_every_epochs=args.eval_every,
         save_every_epochs=args.eval_every, eval_batch_size=13,
         steps_per_call=args.steps_per_call, learning_rate=args.lr,
+        log_every=args.log_every,
         lr_schedule=args.lr_schedule,
         encoder_checkpoint=encoder_dir)
     cfg = dataclasses.replace(cfg, loss=dataclasses.replace(

@@ -127,24 +127,8 @@ def make_train_step(model: GEOMetricsModel, tx: optax.GradientTransformation,
             batch["gt_points"] = batch["gt_points"][:, :config.gt_points]
             return _update(params, opt_state, batch, init_mesh, key)
 
-        if config.steps_per_call > 1:
-            # lax.scan over K steps per dispatch: ONE host round trip per K
-            # steps (the per-call transfer latency through a remote-TPU relay
-            # otherwise dominates wall clock at ~ms-scale step times)
-            @functools.partial(jax.jit, donate_argnums=(0, 1))
-            def step(params, opt_state, data, idxs, init_mesh, keys):
-                def body(carry, xs):
-                    p, o = carry
-                    idx, key = xs
-                    p, o, aux = _cache_update(p, o, data, idx, init_mesh, key)
-                    return (p, o), aux
-                (params, opt_state), auxs = jax.lax.scan(
-                    body, (params, opt_state), (idxs, keys))
-                last_aux = jax.tree_util.tree_map(lambda a: a[-1], auxs)
-                return params, opt_state, last_aux
-        else:
-            step = functools.partial(jax.jit, donate_argnums=(0, 1))(
-                _cache_update)
+        step = functools.partial(jax.jit, donate_argnums=(0, 1))(
+            _cache_update)
     else:
         step = functools.partial(jax.jit, donate_argnums=(0, 1))(_update)
 
@@ -153,6 +137,67 @@ def make_train_step(model: GEOMetricsModel, tx: optax.GradientTransformation,
 
         return checkify_step(step)
     return step
+
+
+def make_epoch_step(model: GEOMetricsModel, tx: optax.GradientTransformation,
+                    config: TrainConfig, n_samples: int,
+                    encoder_params=None):
+    """One jitted dispatch = one full epoch over the device-resident cache.
+
+    Remote-TPU relays charge a ~seconds round trip for EVERY host↔device
+    interaction (uploads, per-buffer fetches).  This variant eliminates all
+    per-step traffic: batch indices come from an on-device permutation, RNG
+    keys are split on device (the running key is carried in device memory),
+    and per-loss scalars come back as ONE stacked array the caller fetches
+    only when it wants to log.
+
+    Returns (epoch_fn, aux_keys): epoch_fn(params, opt_state, data, init_mesh,
+    key) → (params, opt_state, next_key, aux_mat [steps, len(aux_keys)]).
+    """
+    chamfer_fn = chamfer_distance
+    if config.use_fused_chamfer:
+        from ..ops import chamfer as fused_chamfer
+        chamfer_fn = fused_chamfer
+    encode_fn = (make_encode_fn(config, encoder_params)
+                 if encoder_params is not None else None)
+    from ..data.device_cache import DeviceDataCache
+
+    aux_keys = ["chamfer", "edge", "laplacian", "laplacian_move", "latent",
+                "total", "verts_in_use"]
+    steps_per_epoch = n_samples // config.batch_size
+
+    def loss_fn(params, batch, init_mesh, key):
+        out = model.apply({"params": params}, batch["image"],
+                          batch_camera(batch), init_mesh)
+        gt_mesh = gt_mesh_buffer(batch) if encode_fn is not None else None
+        return geometrics_loss(
+            key, out, batch["gt_points"], config.loss, config.surface_samples,
+            encode_fn=encode_fn, gt_mesh=gt_mesh, chamfer_fn=chamfer_fn,
+            multi_stage_chamfer=config.multi_stage_chamfer)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 4))
+    def epoch_fn(params, opt_state, data, init_mesh, key):
+        key, perm_key = jax.random.split(key)
+        order = jax.random.permutation(perm_key, n_samples)
+        idxs = order[:steps_per_epoch * config.batch_size].reshape(
+            steps_per_epoch, config.batch_size)
+
+        def body(carry, idx):
+            p, o, k = carry
+            k, sub = jax.random.split(k)
+            batch = DeviceDataCache.gather(data, idx)
+            batch["gt_points"] = batch["gt_points"][:, :config.gt_points]
+            (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                p, batch, init_mesh, sub)
+            updates, o = tx.update(grads, o, p)
+            p = optax.apply_updates(p, updates)
+            return (p, o, k), jnp.stack([aux[a] for a in aux_keys])
+
+        (params, opt_state, key), aux_mat = jax.lax.scan(
+            body, (params, opt_state, key), idxs)
+        return params, opt_state, key, aux_mat
+
+    return epoch_fn, aux_keys, steps_per_epoch
 
 
 def make_eval_step(model: GEOMetricsModel, config: TrainConfig,
@@ -312,8 +357,13 @@ def train_geometrics(config: TrainConfig,
     feed_keys = ("image", "azimuth", "elevation", "distance", "gt_points",
                  "gt_verts", "gt_faces")
     use_cache = config.device_data_cache
-    step_fn = make_train_step(model, tx, config, encoder_params,
-                              from_cache=use_cache)
+    epoch_mode = use_cache and config.steps_per_call > 1
+    if epoch_mode:
+        epoch_fn, aux_keys, steps_per_epoch_c = make_epoch_step(
+            model, tx, config, len(train_idx), encoder_params)
+    else:
+        step_fn = make_train_step(model, tx, config, encoder_params,
+                                  from_cache=use_cache)
     logger = MetricsLogger(config.checkpoint_dir, "train_metrics")
     ckpt = Checkpointer(config.checkpoint_dir)
     # persist the config so eval tooling can rebuild the exact model
@@ -357,28 +407,53 @@ def train_geometrics(config: TrainConfig,
     step = start_step
     aux: Dict[str, Any] = {}
     eval_result: Dict[str, Any] = {}
-    k_per_call = max(1, config.steps_per_call) if use_cache else 1
+    if epoch_mode:
+        # Fully device-resident epochs: the running PRNG key lives on device,
+        # indices are permuted on device, scalars come back as ONE array and
+        # are fetched only when logging.  The host's only per-epoch action is
+        # the (async) dispatch itself.
+        dev_key = key
+        log_every_epochs = max(1, config.log_every // max(steps_per_epoch_c, 1))
+        aux = {}
+        for epoch in range(config.epochs):
+            params, opt_state, dev_key, aux_mat = epoch_fn(
+                params, opt_state, cache.arrays, init_mesh, dev_key)
+            step += steps_per_epoch_c
+            if epoch % log_every_epochs == 0 or epoch == config.epochs - 1:
+                last = np.asarray(jax.device_get(aux_mat[-1]))
+                aux = dict(zip(aux_keys, (float(v) for v in last)))
+                logger.log(step, aux, epoch=epoch)
+            if (epoch + 1) % config.save_every_epochs == 0 or (
+                    max_steps is not None and step >= max_steps):
+                ckpt.save(step, _snapshot(params, opt_state, step), wait=True)
+            if (epoch + 1) % config.eval_every_epochs == 0:
+                eval_result = evaluate(
+                    params, model, config, eval_dataset, test_idx,
+                    eval_config=EvalConfig(batch_size=config.eval_batch_size),
+                    mesh_devices=devmesh,
+                    dump_meshes_to=os.path.join(
+                        config.checkpoint_dir, "samples",
+                        f"epoch{epoch + 1:04d}"))
+                logger.log(step, {f"eval_{k}": v for k, v in
+                                  eval_result.items()
+                                  if not isinstance(v, dict)})
+            if max_steps is not None and step >= max_steps:
+                break
+        ckpt.save(step, _snapshot(params, opt_state, step), wait=True)
+        logger.close()
+        return {"params": params, "model": model, "metrics": aux,
+                "eval": eval_result,
+                "checkpoint_dir": config.checkpoint_dir,
+                "init_mesh": init_mesh_host}
+
     for epoch in range(config.epochs):
-        if use_cache:
-            all_idx = list(cache.epoch_indices(config.batch_size, idx_rng))
-            groups = [np.stack(all_idx[i:i + k_per_call])
-                      for i in range(0, len(all_idx) - k_per_call + 1,
-                                     k_per_call)] if k_per_call > 1 else all_idx
-        else:
-            groups = it
+        groups = (cache.epoch_indices(config.batch_size, idx_rng)
+                  if use_cache else it)
         for group in groups:
             # profile a short post-warmup window when requested (§5 tracing)
             if config.profile_dir and step == 5:
                 jax.profiler.start_trace(config.profile_dir)
-            if use_cache and k_per_call > 1:
-                key, sub = jax.random.split(key)
-                keys = jax.random.split(sub, group.shape[0])
-                params, opt_state, aux = step_fn(params, opt_state,
-                                                 cache.arrays,
-                                                 jnp.asarray(group),
-                                                 init_mesh, keys)
-                step += group.shape[0] - 1
-            elif use_cache:
+            if use_cache:
                 key, sub = jax.random.split(key)
                 idx = jax.device_put(group, idx_sharding)
                 params, opt_state, aux = step_fn(params, opt_state,
@@ -394,7 +469,7 @@ def train_geometrics(config: TrainConfig,
             if config.profile_dir and step == 10:
                 jax.block_until_ready(aux["total"])
                 jax.profiler.stop_trace()
-            if step % config.log_every == 0 or k_per_call > 1:
+            if step % config.log_every == 0:
                 logger.log(step, aux, epoch=epoch)
             step += 1
             if max_steps is not None and step >= max_steps:

@@ -32,9 +32,17 @@ class MetricsLogger:
 
     def log(self, step: int, scalars: Dict[str, Any], **extra: Any) -> None:
         rec = {"step": step, "wall_s": round(time.time() - self._t0, 3)}
-        for k, v in {**scalars, **extra}.items():
+        # ONE device fetch for the whole dict: per-leaf np.asarray costs a
+        # full host<->device round trip each (seconds over a remote relay)
+        items = {**scalars, **extra}
+        device_keys = [k for k, v in items.items() if hasattr(v, "device")]
+        if device_keys:
+            fetched = jax.device_get({k: items[k] for k in device_keys})
+            items.update(fetched)
+        for k, v in items.items():
             if hasattr(v, "item"):
-                v = np.asarray(v).item() if np.asarray(v).ndim == 0 else np.asarray(v).tolist()
+                v = np.asarray(v)
+                v = v.item() if v.ndim == 0 else v.tolist()
             rec[k] = v
         self._fh.write(json.dumps(rec) + "\n")
         self._fh.flush()
