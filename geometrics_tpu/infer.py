@@ -1,0 +1,93 @@
+"""User-facing inference API: checkpoint → batched single-image→mesh predictor.
+
+The reference exposes reconstruction only through its training script's eval
+path; for deployment this framework provides a standalone predictor:
+
+    from geometrics_tpu.infer import Predictor
+    p = Predictor.from_run_dir("runs/full_r2")
+    meshes = p.predict(images, azimuth, elevation, distance)   # MeshBuffer
+    p.export_objs(meshes, "out/")                               # .obj files
+
+The jitted forward is compiled once per batch shape; inputs are plain arrays
+(no framework types needed at the call site).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core.mesh import MeshBuffer, save_mesh_buffer_sample
+from .models.perceptual_pooling import Camera
+
+
+class Predictor:
+    """Frozen-parameter batched mesh reconstructor."""
+
+    def __init__(self, model, params, config, batch_size: int = 8):
+        from .train.trainer import build_init_mesh
+
+        self.model = model
+        self.params = params
+        self.config = config
+        self.batch_size = batch_size
+        self._init_mesh = build_init_mesh(config, batch_size)
+
+        def fwd(params, images, az, el, dist, init_mesh):
+            out = model.apply({"params": params}, images,
+                              Camera(az, el, dist), init_mesh)
+            return out.mesh
+
+        self._fwd = jax.jit(fwd)
+
+    @classmethod
+    def from_run_dir(cls, run_dir: str, batch_size: int = 8,
+                     step: Optional[int] = None) -> "Predictor":
+        """Restore the latest (or given) checkpoint of a training run."""
+        from .train.trainer import build_model
+        from .utils.checkpoint import Checkpointer
+
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "experiments"))
+        from eval_checkpoint import config_from_json  # shared parser
+
+        with open(os.path.join(run_dir, "config.json")) as fh:
+            config = config_from_json(json.load(fh))
+        model = build_model(config)
+        ckpt = Checkpointer(run_dir)
+        restored = ckpt._mgr.restore(step if step is not None
+                                     else ckpt.latest_step())
+        return cls(model, restored["params"], config, batch_size)
+
+    def predict(self, images: np.ndarray, azimuth: np.ndarray,
+                elevation: np.ndarray, distance: np.ndarray) -> MeshBuffer:
+        """images [B,H,W,3] float in [0,1] + camera arrays [B] → MeshBuffer.
+
+        B must equal the predictor's batch_size (static compiled shape);
+        pad and slice at the call site for ragged final batches.
+        """
+        b = images.shape[0]
+        if b != self.batch_size:
+            raise ValueError(f"batch {b} != compiled batch {self.batch_size}")
+        return self._fwd(self.params, jnp.asarray(images),
+                         jnp.asarray(azimuth), jnp.asarray(elevation),
+                         jnp.asarray(distance), self._init_mesh)
+
+    def export_objs(self, mesh: MeshBuffer, out_dir: str,
+                    prefix: str = "pred") -> Sequence[str]:
+        """Write each batch element as an .obj; returns the paths."""
+        os.makedirs(out_dir, exist_ok=True)
+        mesh = jax.device_get(mesh)
+        paths = []
+        for i in range(mesh.batch_size):
+            path = os.path.join(out_dir, f"{prefix}_{i:03d}.obj")
+            save_mesh_buffer_sample(path, mesh, i)
+            paths.append(path)
+        return paths
