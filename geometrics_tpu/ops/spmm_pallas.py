@@ -1,0 +1,98 @@
+"""Fused adjacency-aggregation (SpMM) Pallas kernel.
+
+The GCN aggregation ``mean_{j∈N(i)} h_j`` on TPU is fastest as a dense
+matmul at this framework's vertex budgets (V ≤ ~1k; see core/adjacency.py).
+The lax pipeline for it is three passes over the V×V adjacency:
+binarize (collapse the directed-edge multiset counts), row-sum for degrees,
+then matmul + divide.  This kernel fuses all of it: each (row-block ×
+col-block) tile is binarized in VMEM, partial products accumulate in the
+output block on the MXU, degrees accumulate in VMEM scratch, and the final
+column step divides — the adjacency is read from HBM exactly ONCE and the
+normalized Â never exists anywhere.
+
+Inputs are raw multiset counts straight from the COO scatter
+(``adjacency_counts_dense``), so the XLA-side preprocessing is just one
+scatter-add.  Equivalence vs the lax oracle is tested in
+tests/test_spmm_pallas.py; runs in interpreter mode off-TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.adjacency import face_edges
+
+_TV = 128   # row block (output rows)
+_TC = 128   # column block (neighbor dim, contracted)
+_TD = 128   # feature block
+
+
+def adjacency_counts_dense(faces: jax.Array, face_mask: jax.Array,
+                           v_max: int) -> jax.Array:
+    """Raw directed-edge multiset counts [V, V] (one scatter-add, unbatched)."""
+    src, dst, emask = face_edges(faces, face_mask)
+    return jnp.zeros((v_max, v_max)).at[src, dst].add(emask)
+
+
+def _spmm_kernel(adj_ref, feats_ref, out_ref, deg_ref):
+    j = pl.program_id(2)  # contracted (column) dimension — innermost
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+        deg_ref[:] = jnp.zeros_like(deg_ref)
+
+    a = jnp.minimum(adj_ref[:], 1.0)           # binarize multiset counts
+    out_ref[:] += jnp.dot(a, feats_ref[:], preferred_element_type=jnp.float32)
+    deg_ref[:] += jnp.sum(a, axis=1, keepdims=True)
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _():
+        out_ref[:] = out_ref[:] / jnp.maximum(deg_ref[:], 1.0)
+
+
+def spmm_mean_pallas(adj_counts: jax.Array, feats: jax.Array,
+                     *, interpret: Optional[bool] = None) -> jax.Array:
+    """Mean-neighbor aggregation from raw counts (unbatched): [V,V],[V,D]→[V,D]."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    v, d = feats.shape
+    pad_v = (-v) % _TV
+    pad_d = (-d) % _TD
+    adj_p = jnp.pad(adj_counts.astype(jnp.float32),
+                    ((0, pad_v), (0, pad_v)))
+    feats_p = jnp.pad(feats.astype(jnp.float32), ((0, pad_v), (0, pad_d)))
+    vp, dp = v + pad_v, d + pad_d
+
+    grid = (vp // _TV, dp // _TD, vp // _TC)
+    out = pl.pallas_call(
+        _spmm_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_TV, _TC), lambda i, k, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TC, _TD), lambda i, k, j: (j, k),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_TV, _TD), lambda i, k, j: (i, k),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((vp, dp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((_TV, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(adj_p, feats_p)
+    return out[:v, :d]
+
+
+def spmm_mean_batched(adj_counts: jax.Array, feats: jax.Array,
+                      **kw) -> jax.Array:
+    """[B,V,V] × [B,V,D] → [B,V,D]."""
+    return jax.vmap(lambda a, f: spmm_mean_pallas(a, f, **kw))(
+        adj_counts, feats)
