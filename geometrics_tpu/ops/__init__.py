@@ -19,6 +19,12 @@ from .chamfer_pallas import (
     nearest_neighbor_pallas,
     nearest_sqdists_fused,
 )
+from .chamfer_sharded import sharded_chamfer, sharded_f1
+from .spmm_pallas import (
+    adjacency_counts_dense,
+    spmm_mean_batched,
+    spmm_mean_pallas,
+)
 
 
 def _on_tpu() -> bool:
@@ -40,9 +46,14 @@ def nearest_sqdists(x, y, x_mask=None, y_mask=None):
 
 
 __all__ = [
+    "adjacency_counts_dense",
     "chamfer",
     "chamfer_distance_fused",
     "nearest_neighbor_pallas",
     "nearest_sqdists",
     "nearest_sqdists_fused",
+    "sharded_chamfer",
+    "sharded_f1",
+    "spmm_mean_batched",
+    "spmm_mean_pallas",
 ]
