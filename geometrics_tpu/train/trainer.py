@@ -320,9 +320,7 @@ def train_geometrics(config: TrainConfig,
         init_mesh_host)["params"]
 
     if encoder_params is None and config.encoder_checkpoint:
-        enc = MeshEncoder(hidden=config.encoder_hidden,
-                          depth=config.encoder_depth,
-                          latent_dim=config.encoder_latent_dim)
+        # the AE → main-trainer frozen-encoder handoff (SURVEY.md §5)
         from .autoencoder import MeshVoxelAE
         ae = MeshVoxelAE(latent_dim=config.encoder_latent_dim,
                          encoder_hidden=config.encoder_hidden,
@@ -332,11 +330,10 @@ def train_geometrics(config: TrainConfig,
         abstract = ae.init(
             jax.random.PRNGKey(0), gt_v, gt_f,
             jnp.ones((1, gt_f.shape[1])), jnp.ones((1, gt_v.shape[1])))
-        ckpt = Checkpointer(config.encoder_checkpoint)
-        restored = ckpt.restore(
+        ae_ckpt = Checkpointer(config.encoder_checkpoint)
+        restored = ae_ckpt.restore(
             {"params": jax.device_get(abstract["params"]), "step": 0})
         encoder_params = restored["params"]["encoder"]
-        del enc
 
     steps_per_epoch = max(1, len(train_idx) // config.batch_size)
     if config.lr_schedule == "cosine":

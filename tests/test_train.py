@@ -197,3 +197,16 @@ def test_init_obj_asset(tmp_path):
     np.testing.assert_allclose(np.asarray(a.verts), np.asarray(b.verts),
                                atol=1e-5)
     np.testing.assert_array_equal(np.asarray(a.faces), np.asarray(b.faces))
+
+
+def test_epoch_mode_trains(tiny_dataset, tmp_path):
+    """Device-resident epoch dispatch (steps_per_call>1) end-to-end."""
+    cfg = _tiny_train_config(
+        tmp_path, checkpoint_dir=str(tmp_path / "em"),
+        batch_size=2, epochs=2, steps_per_call=4, resume=False,
+        lr_schedule="cosine", eval_every_epochs=2, eval_batch_size=2,
+        test_fraction=0.5)
+    out = train_geometrics(cfg, dataset=tiny_dataset)
+    m = out["metrics"]
+    assert np.isfinite(m["total"]) and m["verts_in_use"] > 0
+    assert out["eval"] and np.isfinite(out["eval"]["mean_chamfer"])
