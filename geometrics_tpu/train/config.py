@@ -109,8 +109,15 @@ class TrainConfig:
 
 @dataclass(frozen=True)
 class EvalConfig:
-    """Evaluation protocol (SURVEY.md §3.4): Chamfer + F1@τ / F1@2τ."""
+    """Evaluation protocol (SURVEY.md §3.4): Chamfer + F1@τ / F1@2τ.
+
+    ``scale_matched_tau``: the paper's τ=1e-4 assumes ShapeNet's
+    unit-diameter normalization; this dataset normalizes to max radius 0.9
+    (diameter 1.8), so the geometrically equivalent threshold is
+    τ·1.8² = 3.24e-4 — reported as ``f1_tau_scaled``.
+    """
 
     tau: float = 1e-4
+    scale_matched_tau: float = 3.24e-4
     eval_points: int = 2048
     batch_size: int = 16

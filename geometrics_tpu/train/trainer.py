@@ -221,14 +221,19 @@ def make_eval_step(model: GEOMetricsModel, config: TrainConfig,
         gt = batch["gt_points"][:, :eval_config.eval_points]
         d_pg, d_gp = nearest_sqdists(pts, gt)
         cham = jnp.mean(d_pg, axis=-1) + jnp.mean(d_gp, axis=-1)
-        f1s = []
-        for tau in (eval_config.tau, 2 * eval_config.tau):
+
+        def f1_at(tau):
             precision = jnp.mean((d_pg < tau).astype(jnp.float32), axis=-1)
             recall = jnp.mean((d_gp < tau).astype(jnp.float32), axis=-1)
             denom = jnp.maximum(precision + recall, 1e-12)
-            f1s.append(jnp.where(denom > 1e-12,
-                                 2 * precision * recall / denom, 0.0))
-        return {"chamfer": cham, "f1_tau": f1s[0], "f1_2tau": f1s[1],
+            return jnp.where(denom > 1e-12,
+                             2 * precision * recall / denom, 0.0)
+
+        return {"chamfer": cham,
+                "f1_tau": f1_at(eval_config.tau),
+                "f1_2tau": f1_at(2 * eval_config.tau),
+                "f1_tau_scaled": f1_at(eval_config.scale_matched_tau),
+                "f1_2tau_scaled": f1_at(2 * eval_config.scale_matched_tau),
                 "class_id": batch["class_id"], "mesh": mesh}
 
     return step
@@ -248,7 +253,8 @@ def evaluate(params, model, config: TrainConfig, dataset, indices,
         build_init_mesh(config, eval_config.batch_size), devmesh)
     it = BatchIterator(dataset, eval_config.batch_size, shuffle=False,
                        indices=indices, drop_remainder=True)
-    rows = {"chamfer": [], "f1_tau": [], "f1_2tau": [], "class_id": []}
+    rows = {"chamfer": [], "f1_tau": [], "f1_2tau": [],
+            "f1_tau_scaled": [], "f1_2tau_scaled": [], "class_id": []}
     key = jax.random.PRNGKey(seed)
     for i, batch in enumerate(it):
         key, sub = jax.random.split(key)
@@ -266,21 +272,15 @@ def evaluate(params, model, config: TrainConfig, dataset, indices,
     if not rows["chamfer"]:
         return {}
     cat = {k: np.concatenate(v) for k, v in rows.items()}
+    metric_keys = [k for k in cat if k != "class_id"]
     out: Dict[str, Any] = {
-        "mean_chamfer": float(cat["chamfer"].mean()),
-        "mean_f1_tau": float(cat["f1_tau"].mean()),
-        "mean_f1_2tau": float(cat["f1_2tau"].mean()),
-        "num_samples": int(len(cat["chamfer"])),
-    }
+        f"mean_{k}": float(cat[k].mean()) for k in metric_keys}
+    out["num_samples"] = int(len(cat["chamfer"]))
     per_class = {}
     for c in np.unique(cat["class_id"]):
         sel = cat["class_id"] == c
         name = CLASS_NAMES[int(c) % len(CLASS_NAMES)]
-        per_class[name] = {
-            "chamfer": float(cat["chamfer"][sel].mean()),
-            "f1_tau": float(cat["f1_tau"][sel].mean()),
-            "f1_2tau": float(cat["f1_2tau"][sel].mean()),
-        }
+        per_class[name] = {k: float(cat[k][sel].mean()) for k in metric_keys}
     out["per_class"] = per_class
     return out
 
