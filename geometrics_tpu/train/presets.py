@@ -80,12 +80,29 @@ def full_config(run_dir: str = "runs/full",
         checkpoint_dir=run_dir)
 
 
+def highres_config(run_dir: str = "runs/highres",
+                   ae_dir: str = "runs/ae") -> TrainConfig:
+    """Paper-scale vertex budget: two 480-face split rounds grow the sphere
+    162 → ~1122 verts (the paper caps around 2.5k [P]).  Costs ~4× the
+    flagship step; use when chasing F1 rather than throughput."""
+    return TrainConfig(
+        model=ModelConfig(splits_per_round=480, split_threshold=0.0,
+                          scan_layers=True, adjacency_mode="dense",
+                          bfloat16=True),
+        mesh=MeshBudget(subdivisions=2, v_max=1152, f_max=2304),
+        batch_size=16, epochs=200, num_classes=13, models_per_class=32,
+        surface_samples=4096, gt_points=4096,
+        encoder_checkpoint=ae_dir,
+        checkpoint_dir=run_dir)
+
+
 PRESETS = {
     "overfit": overfit_config,
     "fixed_topo": fixed_topology_config,
     "autoencoder": autoencoder_config,
     "splitting": splitting_config,
     "full": full_config,
+    "highres": highres_config,
 }
 
 
