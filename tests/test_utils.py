@@ -63,3 +63,23 @@ def test_checkpoint_roundtrip(tmp_path):
                            "step": 0})
     np.testing.assert_array_equal(restored["params"]["w"], tree["params"]["w"])
     assert restored["step"] == 7
+
+
+def test_config_json_roundtrip(tmp_path):
+    """trainer's persisted config.json rebuilds an identical TrainConfig."""
+    import dataclasses
+    import json
+    import sys
+
+    sys.path.insert(0, "experiments")
+    from eval_checkpoint import config_from_json
+
+    from geometrics_tpu.train.config import MeshBudget, ModelConfig
+
+    cfg = TrainConfig(
+        model=ModelConfig(hidden=24, cnn_widths=(8, 16), scan_layers=True),
+        mesh=MeshBudget(v_max=100, init_obj=None),
+        batch_size=6, encoder_checkpoint=None, lr_schedule="cosine")
+    blob = json.dumps(dataclasses.asdict(cfg), default=str)
+    back = config_from_json(json.loads(blob))
+    assert back == cfg
