@@ -93,12 +93,17 @@ class BatchIterator:
 
 
 def train_test_split(dataset: SyntheticShapeDataset, test_fraction: float = 0.2):
-    """Per-class contiguous split (mirrors the reference's 3D-R2N2 split lists)."""
-    per = dataset.config.models_per_class
-    n_test = max(1, int(per * test_fraction))
+    """Per-class split in MODEL units (mirrors the reference's 3D-R2N2 split
+    lists): with multi-view rendering, all views of a model land on the same
+    side — no view leakage across the split."""
+    views = getattr(dataset.config, "views_per_model", 1)
+    models = dataset.config.models_per_class
+    per = models * views
+    n_test_models = max(1, int(models * test_fraction))
     train_idx, test_idx = [], []
     for c in range(dataset.config.num_classes):
         base = c * per
-        train_idx.extend(range(base, base + per - n_test))
-        test_idx.extend(range(base + per - n_test, base + per))
+        cut = base + (models - n_test_models) * views
+        train_idx.extend(range(base, cut))
+        test_idx.extend(range(cut, base + per))
     return np.array(train_idx), np.array(test_idx)

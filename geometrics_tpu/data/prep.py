@@ -44,8 +44,11 @@ def prepare_dataset(root: str, config: SyntheticConfig = SyntheticConfig(),
         os.makedirs(sdir, exist_ok=True)
         names = []
         for i in indices:
-            c, m = ds.class_of(int(i)), int(i) % config.models_per_class
-            name = f"{c:02d}_{m:04d}.npz"
+            c = ds.class_of(int(i))
+            within = int(i) % (config.models_per_class * config.views_per_model)
+            m, v = divmod(within, config.views_per_model)
+            name = (f"{c:02d}_{m:04d}.npz" if config.views_per_model == 1
+                    else f"{c:02d}_{m:04d}_v{v:02d}.npz")
             names.append(name)
             path = os.path.join(sdir, name)
             if os.path.exists(path):

@@ -232,6 +232,9 @@ def render_np(verts: np.ndarray, faces: np.ndarray, azimuth: float,
 class SyntheticConfig:
     num_classes: int = 13
     models_per_class: int = 32
+    views_per_model: int = 1   # 3D-R2N2 renders 24 views per model; >1 makes
+                               # the index space models×views with per-view
+                               # cameras (shape/points/voxels shared per model)
     gt_points: int = 4096
     image_size: int = IMAGE_SIZE
     voxel_res: int = VOXEL_RES
@@ -254,17 +257,21 @@ class SyntheticShapeDataset:
         self.config = config
 
     def __len__(self) -> int:
-        return self.config.num_classes * self.config.models_per_class
+        return (self.config.num_classes * self.config.models_per_class
+                * self.config.views_per_model)
 
     def class_of(self, index: int) -> int:
-        return index // self.config.models_per_class
+        per_class = self.config.models_per_class * self.config.views_per_model
+        return index // per_class
 
     def get(self, index: int) -> Dict[str, np.ndarray]:
         cfg = self.config
         class_id = self.class_of(index)
-        model_id = index % cfg.models_per_class
-        rng = np.random.default_rng(
-            np.random.SeedSequence([cfg.seed, 1000 + class_id, model_id]))
+        within = index % (cfg.models_per_class * cfg.views_per_model)
+        model_id = within // cfg.views_per_model
+        view_id = within % cfg.views_per_model
+        rng = np.random.default_rng(np.random.SeedSequence(
+            [cfg.seed, 1000 + class_id, model_id, view_id]))
         verts, faces = generate_shape(class_id, model_id, cfg.seed,
                                       cfg.subdivisions)
         azimuth = rng.uniform(0.0, 2.0 * math.pi)

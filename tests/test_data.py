@@ -104,3 +104,26 @@ def test_batch_iterator_prefetch_and_split():
     b2 = list(it)
     assert not all((batches[i]["model_id"] == b2[i]["model_id"]).all()
                    for i in range(2))
+
+
+def test_multiview_dataset_split():
+    """views_per_model>1: index space, per-model cameras, leak-free split."""
+    cfg = SyntheticConfig(num_classes=2, models_per_class=3,
+                          views_per_model=4, gt_points=16, subdivisions=0,
+                          render=False, voxels=False)
+    ds = SyntheticShapeDataset(cfg)
+    assert len(ds) == 2 * 3 * 4
+    # same model, different views: identical shape, different cameras
+    a, b = ds.get(0), ds.get(1)
+    np.testing.assert_array_equal(a["gt_verts"], b["gt_verts"])
+    assert a["azimuth"] != b["azimuth"]
+    # different models differ
+    c = ds.get(4)
+    assert not np.allclose(a["gt_verts"], c["gt_verts"])
+    tr, te = train_test_split(ds, test_fraction=0.34)
+    assert len(tr) + len(te) == len(ds)
+    # no model appears on both sides
+    def model_key(i):
+        w = i % (3 * 4)
+        return (ds.class_of(i), w // 4)
+    assert not ({model_key(i) for i in tr} & {model_key(i) for i in te})
