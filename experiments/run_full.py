@@ -39,6 +39,7 @@ class RunArgs:
     lap_w: float = 0.1
     move_w: float = 0.1
     log_every: int = 100
+    reuse_ae: str = ""   # existing AE run dir → skip AE pretraining
     cpu: bool = False
 
 
@@ -61,17 +62,22 @@ def main() -> None:
 
     encoder_dir = None
     if args.with_latent:
-        from geometrics_tpu.train.autoencoder import train_autoencoder
+        if args.reuse_ae and os.path.isdir(args.reuse_ae):
+            encoder_dir = args.reuse_ae
+            print(f"[run] reusing frozen encoder from {encoder_dir}",
+                  flush=True)
+        else:
+            from geometrics_tpu.train.autoencoder import train_autoencoder
 
-        ae_cfg = dataclasses.replace(
-            autoencoder_config(os.path.join(args.run_dir, "ae")),
-            epochs=args.ae_epochs)
-        t0 = time.time()
-        ae_out = train_autoencoder(ae_cfg, dataset=train_ds)
-        print(f"[run] AE done in {time.time()-t0:.0f}s: "
-              f"{json.dumps({k: float(v) for k, v in ae_out['metrics'].items()})}",
-              flush=True)
-        encoder_dir = ae_cfg.checkpoint_dir
+            ae_cfg = dataclasses.replace(
+                autoencoder_config(os.path.join(args.run_dir, "ae")),
+                epochs=args.ae_epochs)
+            t0 = time.time()
+            ae_out = train_autoencoder(ae_cfg, dataset=train_ds)
+            print(f"[run] AE done in {time.time()-t0:.0f}s: "
+                  f"{json.dumps({k: float(v) for k, v in ae_out['metrics'].items()})}",
+                  flush=True)
+            encoder_dir = ae_cfg.checkpoint_dir
 
     from geometrics_tpu.train.trainer import train_geometrics
 
