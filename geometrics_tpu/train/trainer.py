@@ -141,7 +141,7 @@ def make_train_step(model: GEOMetricsModel, tx: optax.GradientTransformation,
 
 def make_epoch_step(model: GEOMetricsModel, tx: optax.GradientTransformation,
                     config: TrainConfig, n_samples: int,
-                    encoder_params=None):
+                    encoder_params=None, steps_per_dispatch: int = 0):
     """One jitted dispatch = one full epoch over the device-resident cache.
 
     Remote-TPU relays charge a ~seconds round trip for EVERY host↔device
@@ -165,6 +165,10 @@ def make_epoch_step(model: GEOMetricsModel, tx: optax.GradientTransformation,
     aux_keys = ["chamfer", "edge", "laplacian", "laplacian_move", "latent",
                 "total", "verts_in_use"]
     steps_per_epoch = n_samples // config.batch_size
+    # scan length per dispatch: long scans (80+ fwd+bwd steps in one
+    # executable) have crashed the remote TPU worker; chunk to K steps and
+    # draw each dispatch's batches from a fresh on-device permutation prefix
+    k = min(steps_per_dispatch or steps_per_epoch, steps_per_epoch)
 
     def loss_fn(params, batch, init_mesh, key):
         out = model.apply({"params": params}, batch["image"],
@@ -179,8 +183,7 @@ def make_epoch_step(model: GEOMetricsModel, tx: optax.GradientTransformation,
     def epoch_fn(params, opt_state, data, init_mesh, key):
         key, perm_key = jax.random.split(key)
         order = jax.random.permutation(perm_key, n_samples)
-        idxs = order[:steps_per_epoch * config.batch_size].reshape(
-            steps_per_epoch, config.batch_size)
+        idxs = order[:k * config.batch_size].reshape(k, config.batch_size)
 
         def body(carry, idx):
             p, o, k = carry
@@ -197,7 +200,7 @@ def make_epoch_step(model: GEOMetricsModel, tx: optax.GradientTransformation,
             body, (params, opt_state, key), idxs)
         return params, opt_state, key, aux_mat
 
-    return epoch_fn, aux_keys, steps_per_epoch
+    return epoch_fn, aux_keys, k
 
 
 def make_eval_step(model: GEOMetricsModel, config: TrainConfig,
@@ -356,8 +359,9 @@ def train_geometrics(config: TrainConfig,
     use_cache = config.device_data_cache
     epoch_mode = use_cache and config.steps_per_call > 1
     if epoch_mode:
-        epoch_fn, aux_keys, steps_per_epoch_c = make_epoch_step(
-            model, tx, config, len(train_idx), encoder_params)
+        epoch_fn, aux_keys, k_disp = make_epoch_step(
+            model, tx, config, len(train_idx), encoder_params,
+            steps_per_dispatch=config.steps_per_call)
     else:
         step_fn = make_train_step(model, tx, config, encoder_params,
                                   from_cache=use_cache)
@@ -410,20 +414,27 @@ def train_geometrics(config: TrainConfig,
         # are fetched only when logging.  The host's only per-epoch action is
         # the (async) dispatch itself.
         dev_key = key
-        log_every_epochs = max(1, config.log_every // max(steps_per_epoch_c, 1))
+        disp_per_epoch = max(1, -(-steps_per_epoch // k_disp))
+        log_every_disp = max(1, config.log_every // k_disp)
         aux = {}
+        d = 0
+        done = False
         for epoch in range(config.epochs):
-            params, opt_state, dev_key, aux_mat = epoch_fn(
-                params, opt_state, cache.arrays, init_mesh, dev_key)
-            step += steps_per_epoch_c
-            if epoch % log_every_epochs == 0 or epoch == config.epochs - 1:
-                last = np.asarray(jax.device_get(aux_mat[-1]))
-                aux = dict(zip(aux_keys, (float(v) for v in last)))
-                logger.log(step, aux, epoch=epoch)
-            if (epoch + 1) % config.save_every_epochs == 0 or (
-                    max_steps is not None and step >= max_steps):
+            for _ in range(disp_per_epoch):
+                params, opt_state, dev_key, aux_mat = epoch_fn(
+                    params, opt_state, cache.arrays, init_mesh, dev_key)
+                step += k_disp
+                d += 1
+                if d % log_every_disp == 0 or (epoch == config.epochs - 1):
+                    last = np.asarray(jax.device_get(aux_mat[-1]))
+                    aux = dict(zip(aux_keys, (float(v) for v in last)))
+                    logger.log(step, aux, epoch=epoch)
+                if max_steps is not None and step >= max_steps:
+                    done = True
+                    break
+            if (epoch + 1) % config.save_every_epochs == 0 or done:
                 ckpt.save(step, _snapshot(params, opt_state, step), wait=True)
-            if (epoch + 1) % config.eval_every_epochs == 0:
+            if (epoch + 1) % config.eval_every_epochs == 0 and not done:
                 eval_result = evaluate(
                     params, model, config, eval_dataset, test_idx,
                     eval_config=EvalConfig(batch_size=config.eval_batch_size),
@@ -434,7 +445,7 @@ def train_geometrics(config: TrainConfig,
                 logger.log(step, {f"eval_{k}": v for k, v in
                                   eval_result.items()
                                   if not isinstance(v, dict)})
-            if max_steps is not None and step >= max_steps:
+            if done:
                 break
         ckpt.save(step, _snapshot(params, opt_state, step), wait=True)
         logger.close()
