@@ -1,0 +1,94 @@
+"""Device-resident dataset cache: upload the train split to HBM once.
+
+The remote-TPU relay charges ~seconds of round trip for every host↔device
+interaction (CLAUDE.md environment notes), so the per-step host feed of a
+conventional input pipeline — the reference loads each sample from disk
+inside its Python train loop (SURVEY.md §3.3 ★) — would dominate step time
+here by orders of magnitude.  Instead the whole train split is stacked on
+host, uploaded ONCE, and batches are assembled **on device** by gathering a
+[batch] index vector (drawn from an on-device permutation in the epoch-scan
+path, or device_put per step otherwise).  The jitted step then touches the
+host zero times.
+
+Memory: images are stored as uint8 ([0,255]) and decoded to float32/255 in
+``gather`` — 4× less HBM than float storage, which is what makes 24-view
+multi-view splits (3D-R2N2 parity volume, SURVEY.md §2.1 #1) fit alongside
+the model.  Arrays are replicated across the ('data',) mesh; a sharded index
+vector then yields a batch sharded on axis 0 by XLA's propagation.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# keys decoded from uint8 storage back to float32 in [0, 1]
+_U8_KEYS = ("image",)
+
+
+class DeviceDataCache:
+    """Stacked sample arrays living in device memory, gathered by index.
+
+    ``arrays`` is a plain dict of device arrays (leading axis = sample) —
+    pass it into jitted functions as an ordinary argument (never close over
+    it: constants embedded in jaxprs re-upload through the relay on every
+    compile).  ``gather(arrays, idx)`` is jit-safe and returns a batch dict
+    with float images regardless of the packed storage dtype.
+    """
+
+    def __init__(self, dataset, indices: Sequence[int], keys: List[str],
+                 mesh=None):
+        self.keys = list(keys)
+        self.n_samples = len(indices)
+        host: Dict[str, np.ndarray] = {}
+        cols: Dict[str, list] = {k: [] for k in self.keys}
+        for i in indices:
+            s = dataset.get(int(i))
+            for k in self.keys:
+                cols[k].append(np.asarray(s[k]))
+        for k, vs in cols.items():
+            arr = np.stack(vs, axis=0)
+            if k in _U8_KEYS and arr.dtype != np.uint8:
+                arr = np.clip(np.rint(arr * 255.0), 0, 255).astype(np.uint8)
+            host[k] = arr
+        if mesh is not None:
+            from ..parallel.sharding import replicated
+
+            rep = replicated(mesh)
+            self.arrays = {k: jax.device_put(v, rep) for k, v in host.items()}
+        else:
+            self.arrays = {k: jax.device_put(v) for k, v in host.items()}
+
+    @staticmethod
+    def gather(arrays: Dict[str, jax.Array], idx: jax.Array
+               ) -> Dict[str, jax.Array]:
+        """[N,...] arrays + [B] int idx → [B,...] batch (jit-safe).
+
+        uint8-packed keys decode to float32/255 here, on device — the MXU
+        convs get the float they expect, HBM keeps the 1-byte copy."""
+        out = {}
+        for k, a in arrays.items():
+            g = jnp.take(a, idx, axis=0)
+            if k in _U8_KEYS and a.dtype == jnp.uint8:
+                g = g.astype(jnp.float32) * (1.0 / 255.0)
+            out[k] = g
+        return out
+
+    def nbytes(self) -> int:
+        return int(sum(np.prod(a.shape) * a.dtype.itemsize
+                       for a in self.arrays.values()))
+
+    def epoch_indices(self, batch_size: int,
+                      rng: np.random.Generator) -> Iterator[np.ndarray]:
+        """Shuffled cache-local index groups for one epoch (host side).
+
+        Positions index into ``arrays`` (0..n_samples-1), NOT into the source
+        dataset; remainder samples that don't fill a batch are dropped (the
+        eval path pads-and-masks instead — training order shuffles anyway)."""
+        order = rng.permutation(self.n_samples)
+        n_full = self.n_samples // batch_size
+        for b in range(n_full):
+            yield order[b * batch_size:(b + 1) * batch_size].astype(np.int32)
