@@ -31,18 +31,7 @@ class EvalArgs:
     cpu: bool = False
 
 
-def config_from_json(d: dict):
-    from geometrics_tpu.train.config import (
-        MeshBudget, ModelConfig, TrainConfig)
-    from geometrics_tpu.train.losses import LossWeights
-
-    return TrainConfig(
-        model=ModelConfig(**{**d["model"],
-                             "cnn_widths": tuple(d["model"]["cnn_widths"])}),
-        mesh=MeshBudget(**d["mesh"]),
-        loss=LossWeights(**d["loss"]),
-        **{k: (None if v == "None" else v) for k, v in d.items()
-           if k not in ("model", "mesh", "loss")})
+from geometrics_tpu.train.config import config_from_json  # noqa: E402 (re-export)
 
 
 def main() -> None:
@@ -64,9 +53,7 @@ def main() -> None:
 
     ckpt = Checkpointer(args.run_dir)
     step = ckpt.latest_step()
-    # restore with abstract None → orbax standard restore of raw arrays
-    restored = ckpt._mgr.restore(step)
-    params = restored["params"]
+    params = ckpt.restore_raw(step)["params"]
     print(f"[eval] restored step {step} from {args.run_dir}", flush=True)
 
     ds = PreparedDataset(args.data_root, args.split)

@@ -49,21 +49,14 @@ class Predictor:
     def from_run_dir(cls, run_dir: str, batch_size: int = 8,
                      step: Optional[int] = None) -> "Predictor":
         """Restore the latest (or given) checkpoint of a training run."""
+        from .train.config import config_from_json
         from .train.trainer import build_model
         from .utils.checkpoint import Checkpointer
-
-        import sys
-
-        sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "experiments"))
-        from eval_checkpoint import config_from_json  # shared parser
 
         with open(os.path.join(run_dir, "config.json")) as fh:
             config = config_from_json(json.load(fh))
         model = build_model(config)
-        ckpt = Checkpointer(run_dir)
-        restored = ckpt._mgr.restore(step if step is not None
-                                     else ckpt.latest_step())
+        restored = Checkpointer(run_dir).restore_raw(step)
         return cls(model, restored["params"], config, batch_size)
 
     def predict(self, images: np.ndarray, azimuth: np.ndarray,

@@ -107,6 +107,22 @@ class TrainConfig:
     test_fraction: float = 0.2
 
 
+def config_from_json(d: dict) -> "TrainConfig":
+    """Rebuild a TrainConfig from the ``config.json`` a trainer run writes.
+
+    The inverse of ``dataclasses.asdict`` modulo JSON stringification
+    (tuples→lists, None→"None"); used by eval/inference tooling to
+    reconstruct the exact trained model from a run directory."""
+    known = {f.name for f in dataclasses.fields(TrainConfig)}
+    return TrainConfig(
+        model=ModelConfig(**{**d["model"],
+                             "cnn_widths": tuple(d["model"]["cnn_widths"])}),
+        mesh=MeshBudget(**d["mesh"]),
+        loss=LossWeights(**d["loss"]),
+        **{k: (None if v == "None" else v) for k, v in d.items()
+           if k in known and k not in ("model", "mesh", "loss")})
+
+
 @dataclass(frozen=True)
 class EvalConfig:
     """Evaluation protocol (SURVEY.md §3.4): Chamfer + F1@τ / F1@2τ.

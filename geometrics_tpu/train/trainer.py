@@ -254,24 +254,42 @@ def evaluate(params, model, config: TrainConfig, dataset, indices,
     step = make_eval_step(model, config, eval_config)
     init_mesh = replicate_tree(
         build_init_mesh(config, eval_config.batch_size), devmesh)
-    it = BatchIterator(dataset, eval_config.batch_size, shuffle=False,
-                       indices=indices, drop_remainder=True)
+    idx_arr = np.asarray(indices)
+    bs = eval_config.batch_size
+    it = BatchIterator(dataset, bs, shuffle=False,
+                       indices=idx_arr, drop_remainder=True)
     rows = {"chamfer": [], "f1_tau": [], "f1_2tau": [],
             "f1_tau_scaled": [], "f1_2tau_scaled": [], "class_id": []}
     key = jax.random.PRNGKey(seed)
-    for i, batch in enumerate(it):
+
+    def run_batch(batch, keep: int, dump: bool):
+        nonlocal key
         key, sub = jax.random.split(key)
         res = step(params, shard_batch(batch, devmesh), init_mesh, sub)
         pred_mesh = res.pop("mesh")
         res = jax.device_get(res)
-        if dump_meshes_to is not None and i == 0:
+        if dump and dump_meshes_to is not None:
             os.makedirs(dump_meshes_to, exist_ok=True)
             for j in range(min(4, pred_mesh.batch_size)):
                 save_mesh_buffer_sample(
                     os.path.join(dump_meshes_to, f"sample{j:02d}.obj"),
                     jax.device_get(pred_mesh), j)
         for k in rows:
-            rows[k].append(np.asarray(res[k]))
+            rows[k].append(np.asarray(res[k])[:keep])
+
+    for i, batch in enumerate(it):
+        run_batch(batch, bs, dump=(i == 0))
+    # remainder batch: pad to the compiled shape with repeats of the last
+    # sample, keep only the valid rows — eval covers EVERY sample for any
+    # batch size (the metric of record must not silently drop the tail)
+    rem = len(idx_arr) % bs
+    if rem:
+        from ..data.loader import collate
+
+        tail = idx_arr[len(idx_arr) - rem:]
+        padded = np.concatenate([tail, np.repeat(tail[-1:], bs - rem)])
+        run_batch(collate([dataset.get(int(j)) for j in padded]), rem,
+                  dump=(len(idx_arr) < bs))
     if not rows["chamfer"]:
         return {}
     cat = {k: np.concatenate(v) for k, v in rows.items()}

@@ -43,6 +43,14 @@ class Checkpointer:
             raise FileNotFoundError(f"no checkpoint under {self.directory}")
         return self._mgr.restore(step, args=ocp.args.StandardRestore(tree_like))
 
+    def restore_raw(self, step: Optional[int] = None) -> Any:
+        """Restore a snapshot as raw arrays without a structure template —
+        the public path for eval/inference tooling that only has a run dir."""
+        step = self._mgr.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {self.directory}")
+        return self._mgr.restore(step)
+
     def close(self) -> None:
         self._mgr.wait_until_finished()
         self._mgr.close()

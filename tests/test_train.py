@@ -148,6 +148,28 @@ def test_overfit_single_sample_chamfer_drops(tiny_dataset, tmp_path):
     assert last < first * 0.5, f"chamfer did not drop: {first:.4f} -> {last:.4f}"
 
 
+def test_evaluate_covers_every_sample(tiny_dataset, tmp_path):
+    """Eval must pad-and-mask the remainder batch, not drop it (VERDICT
+    round-1 Weak #6): num_samples == split size for a non-dividing batch."""
+    from geometrics_tpu.train.config import EvalConfig
+    from geometrics_tpu.train.trainer import build_model, evaluate
+
+    cfg = _tiny_train_config(tmp_path)
+    model = build_model(cfg)
+    s = tiny_dataset.get(0)
+    b0 = {k: jnp.asarray(v)[None].repeat(cfg.batch_size, axis=0)
+          for k, v in s.items()}
+    from geometrics_tpu.train.trainer import batch_camera, build_init_mesh
+
+    params = model.init(jax.random.PRNGKey(0), b0["image"], batch_camera(b0),
+                        build_init_mesh(cfg, cfg.batch_size))["params"]
+    indices = np.arange(7)  # 7 % 4 != 0 → one full batch + remainder of 3
+    res = evaluate(params, model, cfg, tiny_dataset, indices,
+                   eval_config=EvalConfig(batch_size=4, eval_points=128))
+    assert res["num_samples"] == 7
+    assert np.isfinite(res["mean_chamfer"])
+
+
 def test_dryrun_multichip_8():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge

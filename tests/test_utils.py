@@ -69,12 +69,9 @@ def test_config_json_roundtrip(tmp_path):
     """trainer's persisted config.json rebuilds an identical TrainConfig."""
     import dataclasses
     import json
-    import sys
 
-    sys.path.insert(0, "experiments")
-    from eval_checkpoint import config_from_json
-
-    from geometrics_tpu.train.config import MeshBudget, ModelConfig
+    from geometrics_tpu.train.config import (
+        MeshBudget, ModelConfig, config_from_json)
 
     cfg = TrainConfig(
         model=ModelConfig(hidden=24, cnn_widths=(8, 16), scan_layers=True),
