@@ -28,10 +28,13 @@ import jax
 class RunArgs:
     run_dir: str = "runs/full_r1"
     data_root: str = "data/synthetic_shapenet"
+    preset: str = "full"   # "full" (flagship/bench budget) | "highres"
+                           # (paper-scale 1152-vert budget)
     epochs: int = 40
     with_latent: bool = False
     ae_epochs: int = 15
     eval_every: int = 10
+    eval_batch_size: int = 13
     steps_per_call: int = 1
     lr: float = 3e-4
     lr_schedule: str = "constant"
@@ -53,7 +56,8 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from geometrics_tpu.data.shapenet import PreparedDataset
-    from geometrics_tpu.train.presets import autoencoder_config, full_config
+    from geometrics_tpu.train.presets import (
+        autoencoder_config, full_config, highres_config)
 
     train_ds = PreparedDataset(args.data_root, "train")
     test_ds = PreparedDataset(args.data_root, "test")
@@ -71,9 +75,14 @@ def main() -> None:
 
             ae_cfg = dataclasses.replace(
                 autoencoder_config(os.path.join(args.run_dir, "ae")),
-                epochs=args.ae_epochs)
+                epochs=args.ae_epochs,
+                models_per_class=train_ds.manifest["models_per_class"])
+            # multi-view train trees skip voxels (only the AE needs them);
+            # the AE then pretrains on its own voxels-only synthetic set
+            # with the same shape distribution (views don't matter to it)
+            ae_ds = train_ds if "voxels" in train_ds.get(0) else None
             t0 = time.time()
-            ae_out = train_autoencoder(ae_cfg, dataset=train_ds)
+            ae_out = train_autoencoder(ae_cfg, dataset=ae_ds)
             print(f"[run] AE done in {time.time()-t0:.0f}s: "
                   f"{json.dumps({k: float(v) for k, v in ae_out['metrics'].items()})}",
                   flush=True)
@@ -81,10 +90,12 @@ def main() -> None:
 
     from geometrics_tpu.train.trainer import train_geometrics
 
+    preset_fn = {"full": full_config, "highres": highres_config}[args.preset]
     cfg = dataclasses.replace(
-        full_config(args.run_dir, encoder_dir or "unused"),
+        preset_fn(args.run_dir, encoder_dir or "unused"),
         epochs=args.epochs, eval_every_epochs=args.eval_every,
-        save_every_epochs=args.eval_every, eval_batch_size=13,
+        save_every_epochs=args.eval_every,
+        eval_batch_size=args.eval_batch_size,
         steps_per_call=args.steps_per_call, learning_rate=args.lr,
         log_every=args.log_every,
         lr_schedule=args.lr_schedule,

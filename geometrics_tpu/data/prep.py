@@ -53,7 +53,12 @@ def prepare_dataset(root: str, config: SyntheticConfig = SyntheticConfig(),
             path = os.path.join(sdir, name)
             if os.path.exists(path):
                 continue
-            sample = ds.get(int(i))
+            sample = dict(ds.get(int(i)))
+            if "image" in sample and sample["image"].dtype != np.uint8:
+                # store renders as uint8 (4× smaller tree, faster loads);
+                # PreparedDataset decodes back to float32 in [0,1]
+                sample["image"] = np.clip(
+                    np.rint(sample["image"] * 255.0), 0, 255).astype(np.uint8)
             np.savez_compressed(path, **sample)
             written += 1
             if verbose and written % 20 == 0:
@@ -64,10 +69,12 @@ def prepare_dataset(root: str, config: SyntheticConfig = SyntheticConfig(),
         "class_names": CLASS_NAMES[:config.num_classes],
         "num_classes": config.num_classes,
         "models_per_class": config.models_per_class,
+        "views_per_model": config.views_per_model,
         "gt_points": config.gt_points,
         "image_size": config.image_size,
         "voxel_res": config.voxel_res,
         "seed": config.seed,
+        "norm_radius": config.norm_radius,
         "num_train": len(train_idx),
         "num_test": len(test_idx),
     }
@@ -85,6 +92,10 @@ def main(argv=None) -> None:
         root: str = "data/synthetic_shapenet"
         num_classes: int = 13
         models_per_class: int = 32
+        views_per_model: int = 1
+        gt_points: int = 4096
+        voxels: bool = True     # skip for pure train/eval trees (the AE
+                                # pretrain set is the only voxel consumer)
         seed: int = 0
         test_fraction: float = 0.2
 
@@ -92,7 +103,10 @@ def main(argv=None) -> None:
     stats = prepare_dataset(
         cfg.root,
         SyntheticConfig(num_classes=cfg.num_classes,
-                        models_per_class=cfg.models_per_class, seed=cfg.seed),
+                        models_per_class=cfg.models_per_class,
+                        views_per_model=cfg.views_per_model,
+                        gt_points=cfg.gt_points, voxels=cfg.voxels,
+                        seed=cfg.seed),
         cfg.test_fraction)
     print(json.dumps(stats))
 

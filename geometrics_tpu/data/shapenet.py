@@ -47,6 +47,9 @@ class PreparedDataset:
             return self._cache[index]
         with np.load(os.path.join(self.root, self.split, self.files[index])) as z:
             sample = {k: z[k] for k in (self.keys or z.files)}
+        if "image" in sample and sample["image"].dtype == np.uint8:
+            # prep stores renders as uint8; the sample contract is f32 [0,1]
+            sample["image"] = sample["image"].astype(np.float32) / 255.0
         if len(self._cache) < self._cache_size:
             self._cache[index] = sample
         return sample

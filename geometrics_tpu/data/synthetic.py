@@ -58,7 +58,8 @@ def _superquadric_radius(d: np.ndarray, e: float) -> np.ndarray:
 
 
 def generate_shape(class_id: int, model_id: int, seed: int = 0,
-                   subdivisions: int = 3) -> Tuple[np.ndarray, np.ndarray]:
+                   subdivisions: int = 3, norm_radius: float = 0.5
+                   ) -> Tuple[np.ndarray, np.ndarray]:
     """Deterministic (verts [V,3] f32, faces [F,3] i32) for one sample.
 
     All shapes share icosphere topology (V=642, F=1280 at subdivisions=3) so
@@ -113,8 +114,10 @@ def generate_shape(class_id: int, model_id: int, seed: int = 0,
         r = _superquadric_radius(d, rng.uniform(0.5, 1.0))
 
     v = v * r[:, None] * scales[None, :]
-    # normalize to max radius 0.9 so every shape fits the render frustum
-    v *= 0.9 / max(np.linalg.norm(v, axis=1).max(), 1e-9)
+    # ShapeNet convention (SURVEY.md §3.4): unit-diameter normalization
+    # (norm_radius=0.5) so the paper's τ=1e-4 F1 threshold applies directly;
+    # pass norm_radius=0.9 to reproduce round-1 datasets (legacy scale).
+    v *= norm_radius / max(np.linalg.norm(v, axis=1).max(), 1e-9)
     return v.astype(np.float32), faces
 
 
@@ -242,6 +245,21 @@ class SyntheticConfig:
     subdivisions: int = 3
     render: bool = True
     voxels: bool = True
+    norm_radius: float = 0.5   # unit-diameter ShapeNet normalization; 0.9
+                               # reproduces round-1 legacy-scale datasets
+    camera_distance: Optional[float] = None  # None → scaled with norm_radius
+                                             # to keep image coverage constant
+
+    @property
+    def distance(self) -> float:
+        return (self.camera_distance if self.camera_distance is not None
+                else 2.2 * self.norm_radius / 0.9)
+
+    @property
+    def vox_extent(self) -> float:
+        """Voxel-grid half-extent, proportional to the shape scale (the
+        legacy ±1.0 grid held radius-0.9 shapes; keep the same margin)."""
+        return self.norm_radius / 0.9
 
 
 class SyntheticShapeDataset:
@@ -273,10 +291,10 @@ class SyntheticShapeDataset:
         rng = np.random.default_rng(np.random.SeedSequence(
             [cfg.seed, 1000 + class_id, model_id, view_id]))
         verts, faces = generate_shape(class_id, model_id, cfg.seed,
-                                      cfg.subdivisions)
+                                      cfg.subdivisions, cfg.norm_radius)
         azimuth = rng.uniform(0.0, 2.0 * math.pi)
         elevation = rng.uniform(math.radians(20.0), math.radians(35.0))
-        distance = 2.2
+        distance = cfg.distance
         sample: Dict[str, np.ndarray] = {
             "gt_verts": verts,
             "gt_faces": faces,
@@ -293,18 +311,20 @@ class SyntheticShapeDataset:
                 verts, faces, azimuth, elevation, distance, rng,
                 cfg.image_size)
         if cfg.voxels:
-            sample["voxels"] = self._voxelize(rng, verts, faces, cfg.voxel_res)
+            sample["voxels"] = self._voxelize(rng, verts, faces, cfg.voxel_res,
+                                              cfg.vox_extent)
         return sample
 
     @staticmethod
-    def _voxelize(rng, verts, faces, res) -> np.ndarray:
+    def _voxelize(rng, verts, faces, res, extent: float = 1.0) -> np.ndarray:
         """Native C++ voxelizer when built (binvox stand-in), numpy twin else."""
         try:
             from .. import native
 
             if native.available():
-                return native.voxelize_mesh(verts, faces, res)
+                return native.voxelize_mesh(verts, faces, res,
+                                            lo=-extent, hi=extent)
         except Exception:
             pass
         dense, _ = sample_surface_np(rng, verts, faces, 120000)
-        return voxelize_solid_np(dense, res)
+        return voxelize_solid_np(dense, res, lo=-extent, hi=extent)

@@ -21,6 +21,7 @@ TPU-native design decisions:
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -42,14 +43,18 @@ class GraphConv(nn.Module):
     can place residuals before the nonlinearity.
 
     Aggregation path: segment-sum over face corners by default; if ``adj``
-    (a precomputed dense normalized adjacency [B,V,V]) is passed, aggregation
-    is a batched MXU matmul instead — the block builds ``adj`` once per
+    is passed, aggregation is a batched MXU matmul — either a precomputed
+    dense normalized adjacency Â [B,V,V] (``aggregation="dense"``) or raw
+    edge-multiset counts consumed by the fused Pallas SpMM kernel
+    (``aggregation="pallas"``, ops/spmm_pallas.py: binarize + matmul +
+    degree-normalize in one HBM pass).  The block builds ``adj`` once per
     topology state and amortizes it over its layers.
     """
 
     features: int
     use_bias: bool = True
     dtype: Optional[jnp.dtype] = None  # compute dtype (bf16 on TPU); params stay f32
+    aggregation: str = "dense"  # meaning of ``adj`` when passed: dense|pallas
 
     @nn.compact
     def __call__(
@@ -58,10 +63,14 @@ class GraphConv(nn.Module):
         faces: jax.Array,       # [B, F, 3] int32
         face_mask: jax.Array,   # [B, F]
         vert_mask: jax.Array,   # [B, V]
-        adj: Optional[jax.Array] = None,  # [B, V, V] dense Â (MXU path)
+        adj: Optional[jax.Array] = None,  # [B, V, V] Â or raw counts (MXU path)
     ) -> jax.Array:
         feats = feats * vert_mask[..., None]  # never aggregate slack garbage
-        if adj is not None:
+        if adj is not None and self.aggregation == "pallas":
+            from ..ops.spmm_pallas import spmm_mean_batched
+
+            nbr = spmm_mean_batched(adj, feats)
+        elif adj is not None:
             nbr = aggregate_neighbors_dense(feats, adj)
         else:
             nbr = aggregate_neighbors_batched(feats, faces, face_mask)
@@ -87,7 +96,7 @@ class GCNDeformationBlock(nn.Module):
     hidden: int = 192
     depth: int = 6
     out_features: int = 192
-    adjacency_mode: str = "segment"  # "segment" | "dense" (MXU matmul)
+    adjacency_mode: str = "segment"  # "segment" | "dense" | "pallas"
     scan_layers: bool = False  # lax.scan over the residual stack: ~depth×
                                # smaller HLO → much faster TPU first-compile;
                                # params become stacked [depth, ...]
@@ -108,14 +117,20 @@ class GCNDeformationBlock(nn.Module):
             parts.append(carried)
         h = jnp.concatenate(parts, axis=-1)
 
-        # topology is constant within a block — build Â once, reuse per layer
+        # topology is constant within a block — build Â (or the raw counts
+        # the Pallas kernel binarizes itself) once, reuse per layer
         adj = None
         if self.adjacency_mode == "dense":
             adj = normalized_adjacency_dense_batched(
                 faces, face_mask, coords.shape[-2])
+        elif self.adjacency_mode == "pallas":
+            from ..ops.spmm_pallas import adjacency_counts_batched
 
-        h = GraphConv(self.hidden, dtype=self.dtype, name="lift")(
-            h, faces, face_mask, vert_mask, adj)
+            adj = adjacency_counts_batched(faces, face_mask, coords.shape[-2])
+        conv = functools.partial(GraphConv, dtype=self.dtype,
+                                 aggregation=self.adjacency_mode)
+
+        h = conv(self.hidden, name="lift")(h, faces, face_mask, vert_mask, adj)
         h = nn.relu(h)
         if self.scan_layers:
             def body(block, h, _):
@@ -125,11 +140,10 @@ class GCNDeformationBlock(nn.Module):
             scanned = nn.scan(
                 body, variable_axes={"params": 0}, split_rngs={"params": True},
                 length=self.depth)
-            h, _ = scanned(GraphConv(self.hidden, dtype=self.dtype,
-                                     name="convs"), h, None)
+            h, _ = scanned(conv(self.hidden, name="convs"), h, None)
         else:
             for i in range(self.depth):
-                r = GraphConv(self.hidden, dtype=self.dtype, name=f"conv{i}")(
+                r = conv(self.hidden, name=f"conv{i}")(
                     h, faces, face_mask, vert_mask, adj)
                 h = nn.relu(h + r)  # residual keeps deep stacks trainable
 
@@ -137,7 +151,7 @@ class GCNDeformationBlock(nn.Module):
             3, dtype=self.dtype, kernel_init=nn.initializers.zeros,
             name="delta_head",
         )(h)
-        feats_out = GraphConv(self.out_features, dtype=self.dtype, name="feat_head")(
+        feats_out = conv(self.out_features, name="feat_head")(
             h, faces, face_mask, vert_mask, adj)
         feats_out = nn.relu(feats_out)
         mask = vert_mask[..., None]

@@ -55,7 +55,7 @@ class GEOMetricsModel(nn.Module):
     # splitting (between blocks only; 0 disables → fixed topology, config [B:8])
     splits_per_round: int = 0
     split_threshold: float = 0.0
-    adjacency_mode: str = "segment"  # "segment" | "dense" (see models/gcn.py)
+    adjacency_mode: str = "segment"  # "segment" | "dense" | "pallas" (gcn.py)
     scan_layers: bool = False        # lax.scan over GCN depth (fast compile)
     remat: bool = False              # rematerialize blocks (HBM ↓, FLOPs ↑)
     dtype: Optional[jnp.dtype] = None

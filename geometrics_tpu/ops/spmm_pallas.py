@@ -40,7 +40,7 @@ def adjacency_counts_dense(faces: jax.Array, face_mask: jax.Array,
     return jnp.zeros((v_max, v_max)).at[src, dst].add(emask)
 
 
-def _spmm_kernel(adj_ref, feats_ref, out_ref, deg_ref):
+def _spmm_kernel(adj_ref, feats_ref, out_ref, deg_ref, *, normalize: bool):
     j = pl.program_id(2)  # contracted (column) dimension — innermost
 
     @pl.when(j == 0)
@@ -52,14 +52,15 @@ def _spmm_kernel(adj_ref, feats_ref, out_ref, deg_ref):
     out_ref[:] += jnp.dot(a, feats_ref[:], preferred_element_type=jnp.float32)
     deg_ref[:] += jnp.sum(a, axis=1, keepdims=True)
 
-    @pl.when(j == pl.num_programs(2) - 1)
-    def _():
-        out_ref[:] = out_ref[:] / jnp.maximum(deg_ref[:], 1.0)
+    if normalize:
+        @pl.when(j == pl.num_programs(2) - 1)
+        def _():
+            out_ref[:] = out_ref[:] / jnp.maximum(deg_ref[:], 1.0)
 
 
-def spmm_mean_pallas(adj_counts: jax.Array, feats: jax.Array,
-                     *, interpret: Optional[bool] = None) -> jax.Array:
-    """Mean-neighbor aggregation from raw counts (unbatched): [V,V],[V,D]→[V,D]."""
+def _spmm_call(adj_counts: jax.Array, feats: jax.Array, *, normalize: bool,
+               interpret: Optional[bool] = None) -> jax.Array:
+    """Raw kernel launch (unbatched, not differentiable): [V,V],[V,D]→[V,D]."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     v, d = feats.shape
@@ -72,7 +73,7 @@ def spmm_mean_pallas(adj_counts: jax.Array, feats: jax.Array,
 
     grid = (vp // _TV, dp // _TD, vp // _TC)
     out = pl.pallas_call(
-        _spmm_kernel,
+        functools.partial(_spmm_kernel, normalize=normalize),
         grid=grid,
         in_specs=[
             pl.BlockSpec((_TV, _TC), lambda i, k, j: (i, j),
@@ -91,8 +92,51 @@ def spmm_mean_pallas(adj_counts: jax.Array, feats: jax.Array,
     return out[:v, :d]
 
 
+@jax.custom_vjp
+def _spmm_mean(adj_counts: jax.Array, feats: jax.Array) -> jax.Array:
+    return _spmm_call(adj_counts, feats, normalize=True)
+
+
+def _spmm_mean_fwd(adj_counts, feats):
+    return _spmm_mean(adj_counts, feats), adj_counts
+
+
+def _spmm_mean_bwd(adj_counts, g):
+    """out_i = Σ_j Â_ij x_j with Â = binarize(A)/deg ⇒ ∂x = Âᵀ g =
+    binarize(A)ᵀ (g/deg).  Counts get a zero cotangent (integer topology)."""
+    deg = jnp.sum(jnp.minimum(adj_counts, 1.0), axis=-1, keepdims=True)
+    gx = _spmm_call(jnp.swapaxes(adj_counts, -1, -2),
+                    g / jnp.maximum(deg, 1.0), normalize=False)
+    return jnp.zeros_like(adj_counts), gx
+
+
+_spmm_mean.defvjp(_spmm_mean_fwd, _spmm_mean_bwd)
+
+
+def spmm_mean_pallas(adj_counts: jax.Array, feats: jax.Array,
+                     *, interpret: Optional[bool] = None) -> jax.Array:
+    """Mean-neighbor aggregation from raw counts (unbatched): [V,V],[V,D]→[V,D].
+
+    Differentiable w.r.t. ``feats`` (custom VJP — the backward pass is the
+    transposed kernel launch); ``interpret`` forces interpreter mode for
+    off-TPU testing, otherwise auto-selected by backend."""
+    if interpret is not None:
+        return _spmm_call(adj_counts, feats, normalize=True,
+                          interpret=interpret)
+    return _spmm_mean(adj_counts, feats)
+
+
 def spmm_mean_batched(adj_counts: jax.Array, feats: jax.Array,
                       **kw) -> jax.Array:
-    """[B,V,V] × [B,V,D] → [B,V,D]."""
+    """[B,V,V] × [B,V,D] → [B,V,D] (differentiable, vmapped kernel)."""
     return jax.vmap(lambda a, f: spmm_mean_pallas(a, f, **kw))(
         adj_counts, feats)
+
+
+def adjacency_counts_batched(faces: jax.Array, face_mask: jax.Array,
+                             v_max: int) -> jax.Array:
+    """[B,F,3],[B,F] → [B,V,V] raw directed-edge counts (models' entry point:
+    built once per deformation block, consumed by spmm_mean_batched per
+    layer — the scatter-add is the only XLA-side preprocessing)."""
+    return jax.vmap(lambda f, m: adjacency_counts_dense(f, m, v_max))(
+        faces, face_mask)

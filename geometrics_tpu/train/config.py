@@ -23,7 +23,9 @@ class MeshBudget:
     subdivisions: int = 2          # init icosphere level (162 verts / 320 faces)
     v_max: int = 640               # vertex slack for splitting
     f_max: int = 1536              # face slack (>= faces0 + 2*total_splits)
-    init_radius: float = 0.5
+    init_radius: float = 0.3   # ~0.6× the unit-diameter data's max radius,
+                               # same init/target proportion the reference's
+                               # bundled sphere has to ShapeNet models
     init_obj: Optional[str] = None  # path to a bundled init-mesh .obj
                                     # (reference §2.1 #13); overrides the
                                     # generated icosphere when set
@@ -40,6 +42,7 @@ class ModelConfig:
     splits_per_round: int = 0      # 0 = fixed topology (config [B:8])
     split_threshold: float = 0.0
     adjacency_mode: str = "segment"  # "segment" | "dense" (MXU matmul path)
+                                     # | "pallas" (fused SpMM kernel)
     scan_layers: bool = False       # lax.scan over GCN depth (fast compile)
     remat: bool = False             # rematerialize deformation blocks
     bfloat16: bool = False          # compute dtype for conv/matmul stacks
@@ -127,13 +130,20 @@ def config_from_json(d: dict) -> "TrainConfig":
 class EvalConfig:
     """Evaluation protocol (SURVEY.md §3.4): Chamfer + F1@τ / F1@2τ.
 
-    ``scale_matched_tau``: the paper's τ=1e-4 assumes ShapeNet's
-    unit-diameter normalization; this dataset normalizes to max radius 0.9
-    (diameter 1.8), so the geometrically equivalent threshold is
-    τ·1.8² = 3.24e-4 — reported as ``f1_tau_scaled``.
+    The paper's τ=1e-4 squared-distance threshold assumes ShapeNet's
+    unit-diameter normalization, which the synthetic generator now follows
+    (SyntheticConfig.norm_radius=0.5) — so ``f1_tau`` IS the paper protocol
+    and ``f1_tau_scaled`` coincides with it at the default
+    ``data_diameter=1.0``.  For legacy round-1 datasets (diameter 1.8) set
+    ``data_diameter=1.8`` to recover the geometrically matched threshold
+    τ·d² = 3.24e-4.
     """
 
     tau: float = 1e-4
-    scale_matched_tau: float = 3.24e-4
+    data_diameter: float = 1.0
     eval_points: int = 2048
     batch_size: int = 16
+
+    @property
+    def scale_matched_tau(self) -> float:
+        return self.tau * self.data_diameter ** 2

@@ -25,7 +25,11 @@ def test_all_13_classes_generate():
         assert verts.shape == (42, 3) and faces.shape == (80, 3)
         assert np.isfinite(verts).all()
         r = np.linalg.norm(verts, axis=1)
-        assert 0.85 < r.max() <= 0.91, CLASS_NAMES[c]
+        # unit-diameter ShapeNet normalization (max radius 0.5)
+        assert 0.45 < r.max() <= 0.51, CLASS_NAMES[c]
+        # legacy round-1 scale still reproducible
+        lv, _ = generate_shape(c, 0, seed=0, subdivisions=1, norm_radius=0.9)
+        assert abs(np.linalg.norm(lv, axis=1).max() - 0.9) < 0.01
 
 
 def test_render_camera_consistency():

@@ -226,10 +226,10 @@ def test_init_obj_asset(tmp_path):
     from geometrics_tpu.core.mesh import icosphere_np, save_obj_np
     from geometrics_tpu.train.trainer import build_init_mesh
 
-    v, f = icosphere_np(1, radius=0.5)
+    cfg = _tiny_train_config(tmp_path)
+    v, f = icosphere_np(1, radius=cfg.mesh.init_radius)
     p = str(tmp_path / "sphere.obj")
     save_obj_np(p, v, f)
-    cfg = _tiny_train_config(tmp_path)
     cfg2 = TrainConfig(**{**cfg.__dict__,
                           "mesh": MeshBudget(subdivisions=1, v_max=64,
                                              f_max=160, init_obj=p)})
