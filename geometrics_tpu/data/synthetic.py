@@ -131,7 +131,10 @@ def sample_surface_np(rng: np.random.Generator, verts: np.ndarray,
     v1, v2, v3 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
     cross = np.cross(v2 - v1, v3 - v1)
     area = 0.5 * np.linalg.norm(cross, axis=1)
-    prob = area / area.sum()
+    total = area.sum()
+    # degenerate input (e.g. an untrained prediction collapsed to a point)
+    # falls back to uniform face sampling instead of 0/0
+    prob = area / total if total > 1e-12 else np.full(len(area), 1.0 / len(area))
     idx = rng.choice(len(faces), size=n, p=prob)
     r1, r2 = rng.random(n), rng.random(n)
     s = np.sqrt(r1)[:, None]

@@ -270,10 +270,19 @@ def evaluate(params, model, config: TrainConfig, dataset, indices,
         res = jax.device_get(res)
         if dump and dump_meshes_to is not None:
             os.makedirs(dump_meshes_to, exist_ok=True)
+            pred_host = jax.device_get(pred_mesh)
             for j in range(min(4, pred_mesh.batch_size)):
                 save_mesh_buffer_sample(
                     os.path.join(dump_meshes_to, f"sample{j:02d}.obj"),
-                    jax.device_get(pred_mesh), j)
+                    pred_host, j)
+            try:  # input|pred|GT render grid (reference README-figure parity)
+                from ..utils.figures import save_comparison_grid
+
+                save_comparison_grid(
+                    os.path.join(dump_meshes_to, "grid.png"),
+                    {k: np.asarray(v) for k, v in batch.items()}, pred_host)
+            except Exception as e:  # figures are best-effort, never fatal
+                print(f"[eval] figure dump skipped: {e}", flush=True)
         for k in rows:
             rows[k].append(np.asarray(res[k])[:keep])
 

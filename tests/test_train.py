@@ -165,9 +165,13 @@ def test_evaluate_covers_every_sample(tiny_dataset, tmp_path):
                         build_init_mesh(cfg, cfg.batch_size))["params"]
     indices = np.arange(7)  # 7 % 4 != 0 → one full batch + remainder of 3
     res = evaluate(params, model, cfg, tiny_dataset, indices,
-                   eval_config=EvalConfig(batch_size=4, eval_points=128))
+                   eval_config=EvalConfig(batch_size=4, eval_points=128),
+                   dump_meshes_to=str(tmp_path / "dump"))
     assert res["num_samples"] == 7
     assert np.isfinite(res["mean_chamfer"])
+    # qualitative artifacts: .obj dumps + input|pred|GT render grid
+    assert os.path.exists(str(tmp_path / "dump" / "sample00.obj"))
+    assert os.path.exists(str(tmp_path / "dump" / "grid.png"))
 
 
 def test_dryrun_multichip_8():
