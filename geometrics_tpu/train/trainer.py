@@ -250,7 +250,12 @@ def evaluate(params, model, config: TrainConfig, dataset, indices,
 
     ``dump_meshes_to``: directory for qualitative sample-mesh .obj dumps (the
     reference's eyeballing workflow, SURVEY.md §5 metrics/logging)."""
-    devmesh = mesh_devices or make_mesh_for_batch(eval_config.batch_size)
+    devmesh = mesh_devices
+    if devmesh is None or eval_config.batch_size % devmesh.devices.size:
+        # the train mesh only carries over when the eval batch divides it;
+        # otherwise params move onto an eval-compatible mesh
+        devmesh = make_mesh_for_batch(eval_config.batch_size)
+        params = replicate_tree(params, devmesh)
     step = make_eval_step(model, config, eval_config)
     init_mesh = replicate_tree(
         build_init_mesh(config, eval_config.batch_size), devmesh)
