@@ -169,6 +169,10 @@ class MeshEncoder(nn.Module):
     hidden: int = 128
     depth: int = 4
     latent_dim: int = 128
+    adjacency_mode: str = "dense"  # topology is fixed per call → build Â
+                                   # once, amortize over depth+1 layers (the
+                                   # segment path costs ~16× more fwd+bwd at
+                                   # V=1152 per the adjacency shoot-out)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -179,12 +183,16 @@ class MeshEncoder(nn.Module):
         face_mask: jax.Array,   # [B, F]
         vert_mask: jax.Array,   # [B, V]
     ) -> jax.Array:             # [B, latent_dim]
+        adj = None
+        if self.adjacency_mode == "dense":
+            adj = normalized_adjacency_dense_batched(
+                faces, face_mask, coords.shape[-2])
         h = GraphConv(self.hidden, dtype=self.dtype, name="lift")(
-            coords, faces, face_mask, vert_mask)
+            coords, faces, face_mask, vert_mask, adj)
         h = nn.relu(h)
         for i in range(self.depth):
             r = GraphConv(self.hidden, dtype=self.dtype, name=f"conv{i}")(
-                h, faces, face_mask, vert_mask)
+                h, faces, face_mask, vert_mask, adj)
             h = nn.relu(h + r)
 
         mask = vert_mask[..., None]
