@@ -63,15 +63,26 @@ class Predictor:
                 elevation: np.ndarray, distance: np.ndarray) -> MeshBuffer:
         """images [B,H,W,3] float in [0,1] + camera arrays [B] → MeshBuffer.
 
-        B must equal the predictor's batch_size (static compiled shape);
-        pad and slice at the call site for ragged final batches.
+        B may be at most the predictor's batch_size (the static compiled
+        shape): ragged final batches are padded with repeats of the last
+        sample and sliced back out, so callers never see the padding.
         """
         b = images.shape[0]
-        if b != self.batch_size:
-            raise ValueError(f"batch {b} != compiled batch {self.batch_size}")
-        return self._fwd(self.params, jnp.asarray(images),
-                         jnp.asarray(azimuth), jnp.asarray(elevation),
-                         jnp.asarray(distance), self._init_mesh)
+        if b > self.batch_size or b == 0:
+            raise ValueError(f"batch {b} not in 1..{self.batch_size} "
+                             f"(compiled batch)")
+        pad = self.batch_size - b
+
+        def p(x):
+            x = np.asarray(x)
+            return np.concatenate([x, np.repeat(x[-1:], pad, axis=0)]) if pad else x
+
+        mesh = self._fwd(self.params, jnp.asarray(p(images)),
+                         jnp.asarray(p(azimuth)), jnp.asarray(p(elevation)),
+                         jnp.asarray(p(distance)), self._init_mesh)
+        if pad:
+            mesh = jax.tree_util.tree_map(lambda a: a[:b], mesh)
+        return mesh
 
     def export_objs(self, mesh: MeshBuffer, out_dir: str,
                     prefix: str = "pred") -> Sequence[str]:

@@ -42,6 +42,12 @@ def test_predictor_roundtrip(tmp_path):
     v, f = load_obj_np(paths[0])
     assert v.shape[0] == int(mesh.num_verts[0])
 
+    # ragged final batch: padded internally, sliced back to 1
+    m1 = p.predict(imgs[:1], az[:1], el[:1], dist[:1])
+    assert m1.verts.shape[0] == 1
+    np.testing.assert_allclose(np.asarray(m1.verts[0]),
+                               np.asarray(mesh.verts[0]), atol=1e-5)
+
     with pytest.raises(ValueError):
         p.predict(np.zeros((3, 32, 32, 3), np.float32), np.zeros(3),
                   np.zeros(3), np.zeros(3))
