@@ -43,17 +43,19 @@ class DeviceDataCache:
                  mesh=None):
         self.keys = list(keys)
         self.n_samples = len(indices)
+        # stream samples into preallocated arrays (uint8 for images) — a
+        # list-then-stack build would peak at ~4x the packed size in host RAM
+        # on large multi-view splits
         host: Dict[str, np.ndarray] = {}
-        cols: Dict[str, list] = {k: [] for k in self.keys}
-        for i in indices:
+        for row, i in enumerate(indices):
             s = dataset.get(int(i))
             for k in self.keys:
-                cols[k].append(np.asarray(s[k]))
-        for k, vs in cols.items():
-            arr = np.stack(vs, axis=0)
-            if k in _U8_KEYS and arr.dtype != np.uint8:
-                arr = np.clip(np.rint(arr * 255.0), 0, 255).astype(np.uint8)
-            host[k] = arr
+                v = np.asarray(s[k])
+                if k in _U8_KEYS and v.dtype != np.uint8:
+                    v = np.clip(np.rint(v * 255.0), 0, 255).astype(np.uint8)
+                if row == 0:
+                    host[k] = np.empty((self.n_samples,) + v.shape, v.dtype)
+                host[k][row] = v
         if mesh is not None:
             from ..parallel.sharding import replicated
 
