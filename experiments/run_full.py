@@ -31,6 +31,9 @@ class RunArgs:
     preset: str = "full"   # "full" (flagship/bench budget) | "highres"
                            # (paper-scale 1152-vert budget)
     epochs: int = 40
+    batch_size: int = 0    # 0 = keep the preset's batch; the relay charges a
+                           # large fixed cost per dispatch, so bigger batches
+                           # amortize it (same samples, fewer dispatches)
     with_latent: bool = False
     ae_epochs: int = 15
     eval_every: int = 10
@@ -100,6 +103,8 @@ def main() -> None:
         log_every=args.log_every,
         lr_schedule=args.lr_schedule,
         encoder_checkpoint=encoder_dir)
+    if args.batch_size:
+        cfg = dataclasses.replace(cfg, batch_size=args.batch_size)
     cfg = dataclasses.replace(cfg, loss=dataclasses.replace(
         cfg.loss, edge=args.edge_w, laplacian=args.lap_w,
         laplacian_move=args.move_w,
