@@ -119,15 +119,22 @@ def make_train_step(model: GEOMetricsModel, tx: optax.GradientTransformation,
 
     if from_cache:
         # device-resident data: batch assembled on-device from an index
-        # vector (data/device_cache.py) — no per-step host transfer
+        # vector (data/device_cache.py) — no per-step host transfer.
+        # The cache is DONATED and returned unchanged: the relay terminal
+        # charges a large per-dispatch cost for every non-donated GB-scale
+        # argument buffer (measured ~10 s/dispatch for a 1.6 GiB cache vs
+        # 0.25 s donated-through — aliased outputs reuse buf_ids).  Callers
+        # must rebind the returned cache dict every call.
         from ..data.device_cache import DeviceDataCache
 
         def _cache_update(params, opt_state, data, idx, init_mesh, key):
             batch = DeviceDataCache.gather(data, idx)
             batch["gt_points"] = batch["gt_points"][:, :config.gt_points]
-            return _update(params, opt_state, batch, init_mesh, key)
+            params, opt_state, aux = _update(params, opt_state, batch,
+                                             init_mesh, key)
+            return params, opt_state, aux, data
 
-        step = functools.partial(jax.jit, donate_argnums=(0, 1))(
+        step = functools.partial(jax.jit, donate_argnums=(0, 1, 2))(
             _cache_update)
     else:
         step = functools.partial(jax.jit, donate_argnums=(0, 1))(_update)
@@ -151,8 +158,15 @@ def make_epoch_step(model: GEOMetricsModel, tx: optax.GradientTransformation,
     and per-loss scalars come back as ONE stacked array the caller fetches
     only when it wants to log.
 
-    Returns (epoch_fn, aux_keys): epoch_fn(params, opt_state, data, init_mesh,
-    key) → (params, opt_state, next_key, aux_mat [steps, len(aux_keys)]).
+    Returns (epoch_fn, aux_keys, k): epoch_fn(params, opt_state, data,
+    init_mesh, key) → (params, opt_state, next_key,
+    aux_mat [steps, len(aux_keys)], data).
+
+    ``data`` (the device cache) is DONATED and aliased straight through to
+    the last output: the relay terminal charges ~10 s/dispatch for a GB-scale
+    non-donated argument, vs ~0.25 s when the buffers are donated and their
+    ids reused for the outputs (measured round 2).  Callers must rebind their
+    cache reference to the returned dict after every call.
     """
     chamfer_fn = chamfer_distance
     if config.use_fused_chamfer:
@@ -179,7 +193,7 @@ def make_epoch_step(model: GEOMetricsModel, tx: optax.GradientTransformation,
             encode_fn=encode_fn, gt_mesh=gt_mesh, chamfer_fn=chamfer_fn,
             multi_stage_chamfer=config.multi_stage_chamfer)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 4))
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 4))
     def epoch_fn(params, opt_state, data, init_mesh, key):
         key, perm_key = jax.random.split(key)
         order = jax.random.permutation(perm_key, n_samples)
@@ -198,7 +212,7 @@ def make_epoch_step(model: GEOMetricsModel, tx: optax.GradientTransformation,
 
         (params, opt_state, key), aux_mat = jax.lax.scan(
             body, (params, opt_state, key), idxs)
-        return params, opt_state, key, aux_mat
+        return params, opt_state, key, aux_mat, data
 
     return epoch_fn, aux_keys, k
 
@@ -451,10 +465,12 @@ def train_geometrics(config: TrainConfig,
         aux = {}
         d = 0
         done = False
+        cache_arrays = cache.arrays  # donated through every dispatch — only
+        cache.arrays = None          # the returned handle stays valid
         for epoch in range(config.epochs):
             for _ in range(disp_per_epoch):
-                params, opt_state, dev_key, aux_mat = epoch_fn(
-                    params, opt_state, cache.arrays, init_mesh, dev_key)
+                params, opt_state, dev_key, aux_mat, cache_arrays = epoch_fn(
+                    params, opt_state, cache_arrays, init_mesh, dev_key)
                 step += k_disp
                 d += 1
                 if d % log_every_disp == 0 or (epoch == config.epochs - 1):
@@ -486,6 +502,9 @@ def train_geometrics(config: TrainConfig,
                 "checkpoint_dir": config.checkpoint_dir,
                 "init_mesh": init_mesh_host}
 
+    if use_cache:
+        cache_arrays = cache.arrays  # donated through every step (see
+        cache.arrays = None          # make_train_step) — rebind each call
     for epoch in range(config.epochs):
         groups = (cache.epoch_indices(config.batch_size, idx_rng)
                   if use_cache else it)
@@ -496,9 +515,8 @@ def train_geometrics(config: TrainConfig,
             if use_cache:
                 key, sub = jax.random.split(key)
                 idx = jax.device_put(group, idx_sharding)
-                params, opt_state, aux = step_fn(params, opt_state,
-                                                 cache.arrays, idx,
-                                                 init_mesh, sub)
+                params, opt_state, aux, cache_arrays = step_fn(
+                    params, opt_state, cache_arrays, idx, init_mesh, sub)
             else:
                 key, sub = jax.random.split(key)
                 batch = {k: group[k] for k in feed_keys if k in group}
