@@ -85,6 +85,15 @@ def bilinear_sample(feat_map: jax.Array, uv: jax.Array) -> jax.Array:
     """Bilinear interpolation. feat_map [B,H,W,C], uv [B,V,2] (pixel units at
     this map's resolution) → [B,V,C].  Out-of-bounds coords clamp to the edge
     (matching torch grid_sample border padding, the reference's behavior class).
+
+    Lowering note (round-2 profiling): indices must address whole [C] ROWS of
+    the flattened map — ``take_along_axis`` with the index broadcast across C
+    emits a per-ELEMENT gather (a [B·V·C] index array) that TPU executes at
+    ~1.6 GB/s in a scalar custom fusion; at the highres budget those gathers
+    were 57.9 ms EACH and consumed the entire 2.25 s train step.  The row
+    gather below (one [B,4V] index array, channel dim as gather offset dims)
+    is the DMA fast path; its transpose (scatter-add of rows in the backward)
+    is likewise row-granular.
     """
     b, h, w, c = feat_map.shape
     u = jnp.clip(uv[..., 0], 0.0, w - 1.0)
@@ -97,18 +106,14 @@ def bilinear_sample(feat_map: jax.Array, uv: jax.Array) -> jax.Array:
     fv = v - v0.astype(v.dtype)
 
     flat = feat_map.reshape(b, h * w, c)
-
-    def gather(vy, ux):
-        idx = (vy * w + ux)[..., None]                       # [B, V, 1]
-        return jnp.take_along_axis(flat, jnp.broadcast_to(idx, idx.shape[:-1] + (c,)), axis=1)
-
-    p00 = gather(v0, u0)
-    p01 = gather(v0, u1)
-    p10 = gather(v1, u0)
-    p11 = gather(v1, u1)
-    top = p00 * (1 - fu)[..., None] + p01 * fu[..., None]
-    bot = p10 * (1 - fu)[..., None] + p11 * fu[..., None]
-    return top * (1 - fv)[..., None] + bot * fv[..., None]
+    idx = jnp.stack([v0 * w + u0, v0 * w + u1,
+                     v1 * w + u0, v1 * w + u1], axis=1)      # [B, 4, V]
+    rows = jax.vmap(lambda f, i: jnp.take(f, i, axis=0))(
+        flat, idx.reshape(b, -1))                            # [B, 4V, C]
+    p = rows.reshape(b, 4, -1, c)                            # [B, 4, V, C]
+    wts = jnp.stack([(1 - fu) * (1 - fv), fu * (1 - fv),
+                     (1 - fu) * fv, fu * fv], axis=1)        # [B, 4, V]
+    return jnp.einsum("bkvc,bkv->bvc", p, wts)
 
 
 def perceptual_pool(
