@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from .adjacency import aggregate_neighbors_batched, face_edges
+from .mesh import take_rows
 
 
 def edge_lengths_sq(
@@ -36,8 +37,8 @@ def edge_lengths_sq(
     means over unique edges.  Returns (lengths_sq [..., 6F], mask [..., 6F]).
     """
     src, dst, emask = face_edges(faces, face_mask)
-    p = jnp.take_along_axis(verts, src[..., None].repeat(3, axis=-1), axis=-2)
-    q = jnp.take_along_axis(verts, dst[..., None].repeat(3, axis=-1), axis=-2)
+    p = take_rows(verts, src)
+    q = take_rows(verts, dst)
     return jnp.sum((p - q) ** 2, axis=-1), emask
 
 

@@ -233,13 +233,25 @@ def save_mesh_buffer_sample(path: str, mesh: MeshBuffer, index: int = 0) -> None
 # Basic jit-safe geometry helpers shared across losses/sampling/splitting
 # ---------------------------------------------------------------------------
 
+def take_rows(arr: jax.Array, idx: jax.Array) -> jax.Array:
+    """Row gather along axis -2 with shared leading batch dims:
+    arr [..., N, C], idx [..., K] → [..., K, C].
+
+    Indices address whole [C] rows (the channel axis rides as gather offset
+    dims) — the TPU DMA fast path.  Never broadcast/repeat indices across the
+    trailing dim and gather per element instead: that lowers to a scalar-path
+    custom fusion at ~1.6 GB/s (the round-2 perceptual-pooling regression)."""
+    if arr.ndim == 2:
+        return jnp.take(arr, idx, axis=0)
+    return jax.vmap(take_rows)(arr, idx)
+
+
 def gather_face_verts(verts: jax.Array, faces: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Per-face corner coordinates.  verts [..., V, 3], faces [..., F, 3] →
     three arrays [..., F, 3]."""
-    v1 = jnp.take_along_axis(verts, jnp.repeat(faces[..., 0:1], 3, axis=-1), axis=-2)
-    v2 = jnp.take_along_axis(verts, jnp.repeat(faces[..., 1:2], 3, axis=-1), axis=-2)
-    v3 = jnp.take_along_axis(verts, jnp.repeat(faces[..., 2:3], 3, axis=-1), axis=-2)
-    return v1, v2, v3
+    return (take_rows(verts, faces[..., 0]),
+            take_rows(verts, faces[..., 1]),
+            take_rows(verts, faces[..., 2]))
 
 
 def face_normals_areas(
