@@ -149,3 +149,35 @@ def test_image_encoder_scales():
     maps = enc.apply({"params": params}, imgs)
     assert maps[0].shape == (1, 32, 32, 4)
     assert maps[1].shape == (1, 16, 16, 8)
+
+
+def test_gathers_lower_to_row_form():
+    """Lowering regression (round-2 pooling incident): every gather in the
+    pooling/geometry hot paths must address whole trailing-dim ROWS
+    (slice_sizes carry the channel dim).  A per-element gather — indices
+    broadcast across the trailing dim, slice_sizes all-1 — runs on a TPU
+    scalar path at ~1.6 GB/s and once cost 57.9 ms per call (RESULTS.md)."""
+    import re
+
+    import jax
+    import jax.numpy as jnp
+
+    from geometrics_tpu.core.mesh import gather_face_verts
+    from geometrics_tpu.models.perceptual_pooling import bilinear_sample
+
+    def row_gathers_only(txt, trailing):
+        sizes = [m.group(1) for m in re.finditer(
+            r'"stablehlo.gather".*?slice_sizes = array<i64: ([^>]*)>', txt,
+            re.S)]
+        assert sizes, "expected at least one gather"
+        for s in sizes:
+            assert s.split(",")[-1].strip() == str(trailing), (
+                f"per-element gather leaked into the lowering: {s}")
+
+    fmap = jnp.zeros((2, 9, 9, 16))
+    uv = jnp.zeros((2, 5, 2))
+    row_gathers_only(jax.jit(bilinear_sample).lower(fmap, uv).as_text(), 16)
+
+    verts = jnp.zeros((2, 12, 3))
+    faces = jnp.zeros((2, 20, 3), jnp.int32)
+    row_gathers_only(jax.jit(gather_face_verts).lower(verts, faces).as_text(), 3)
