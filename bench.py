@@ -34,7 +34,13 @@ def _enable_compile_cache() -> None:
 
 
 def bench_jax(batch_size: int, steps: int, warmup: int, splits: int,
-              surface_samples: int) -> float:
+              surface_samples: int, windows: int = 3) -> list:
+    """Measured window rates (meshes/sec), one per window.
+
+    The TPU pool is SHARED and identical programs can vary several-fold in
+    wall time between moments (CLAUDE.md); a single window is hostage to the
+    pool moment, so the number of record is the MEDIAN of ``windows``
+    independent blocked windows, with the spread reported alongside."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -96,15 +102,18 @@ def bench_jax(batch_size: int, steps: int, warmup: int, splits: int,
                                          init_mesh, sub)
     jax.block_until_ready(aux["total"])
 
-    t0 = time.perf_counter()
-    for i in range(steps):
-        key, sub = jax.random.split(key)
-        params, opt_state, aux = step_fn(params, opt_state, sharded,
-                                         init_mesh, sub)
-    jax.block_until_ready(aux["total"])
-    dt = time.perf_counter() - t0
+    rates = []
+    for w in range(windows):
+        t0 = time.perf_counter()
+        for i in range(steps):
+            key, sub = jax.random.split(key)
+            params, opt_state, aux = step_fn(params, opt_state, sharded,
+                                             init_mesh, sub)
+        jax.block_until_ready(aux["total"])
+        dt = time.perf_counter() - t0
+        rates.append(batch_size * steps / dt)
     assert np.isfinite(float(jax.device_get(aux["total"])))
-    return batch_size * steps / dt
+    return rates
 
 
 def main() -> None:
@@ -112,9 +121,11 @@ def main() -> None:
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--windows", type=int, default=3)
     p.add_argument("--splits", type=int, default=48)
     p.add_argument("--surface_samples", type=int, default=2048)
-    p.add_argument("--baseline_steps", type=int, default=2)
+    p.add_argument("--baseline_steps", type=int, default=4)
+    p.add_argument("--baseline_windows", type=int, default=3)
     p.add_argument("--baseline_batch", type=int, default=2)
     p.add_argument("--cpu", action="store_true", help="force CPU (local smoke)")
     p.add_argument("--skip_baseline", action="store_true")
@@ -125,25 +136,35 @@ def main() -> None:
 
         jax.config.update("jax_platforms", "cpu")
 
-    mps = bench_jax(args.batch_size, args.steps, args.warmup, args.splits,
-                    args.surface_samples)
+    rates = bench_jax(args.batch_size, args.steps, args.warmup, args.splits,
+                      args.surface_samples, windows=args.windows)
+    mps = float(np.median(rates))
 
     if args.skip_baseline:
         base = float("nan")
+        base_rates = []
     else:
         sys.path.insert(0, "benchmarks")
         from torch_baseline import run_baseline
 
-        base = run_baseline(batch_size=args.baseline_batch,
-                            steps=args.baseline_steps, warmup=1,
-                            n_points=args.surface_samples,
-                            splits_per_round=args.splits)
+        # same median-of-windows treatment for the denominator: the 1-core
+        # host is shared too, and the headline ratio divides by this number
+        base_rates = [
+            run_baseline(batch_size=args.baseline_batch,
+                         steps=args.baseline_steps, warmup=1 if w == 0 else 0,
+                         n_points=args.surface_samples,
+                         splits_per_round=args.splits)
+            for w in range(args.baseline_windows)]
+        base = float(np.median(base_rates))
 
     print(json.dumps({
         "metric": "train_meshes_per_sec_per_chip",
         "value": round(mps, 3),
         "unit": "meshes/sec/chip",
         "vs_baseline": round(mps / base, 3) if base == base else None,
+        "windows": [round(r, 3) for r in rates],
+        "spread": {"min": round(min(rates), 3), "max": round(max(rates), 3)},
+        "baseline_windows": [round(r, 3) for r in base_rates],
     }))
 
 

@@ -31,10 +31,19 @@ def bench_block(mode: str, batch: int, v_max: int, f_max: int, subdiv: int,
     from geometrics_tpu.models.gcn import GCNDeformationBlock
 
     verts, faces = icosphere_np(subdiv, radius=0.3)
-    mesh = make_mesh_buffer(verts, faces, v_max, f_max, batch)
-    # fill the buffer to capacity so the timing reflects the budget, not the
-    # small live prefix: replicate the face list into the slack region
+    # fill the buffer to CAPACITY so the timing reflects the budget, not a
+    # small live prefix: pad vertices with random sphere points and tile the
+    # face list across the slack with rotating index offsets, so every vertex
+    # row is live and the ~6-neighbor degree distribution covers all of v_max
     rng = np.random.default_rng(0)
+    extra = rng.normal(size=(v_max - len(verts), 3)).astype(np.float32)
+    extra *= 0.3 / np.maximum(np.linalg.norm(extra, axis=1, keepdims=True), 1e-9)
+    verts_full = np.concatenate([verts, extra], axis=0)
+    reps = -(-f_max // len(faces))
+    offs = (np.arange(reps) * len(verts))[:, None, None]
+    faces_full = ((faces[None] + offs) % v_max).reshape(-1, 3)[:f_max]
+    faces_full = faces_full.astype(np.int32)
+    mesh = make_mesh_buffer(verts_full, faces_full, v_max, f_max, batch)
     pooled = jnp.asarray(rng.normal(size=(batch, v_max, 448)).astype(np.float32))
     block = GCNDeformationBlock(hidden=hidden, depth=depth,
                                 out_features=hidden, adjacency_mode=mode,
@@ -68,6 +77,9 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--hidden", type=int, default=192)
     p.add_argument("--depth", type=int, default=6)
+    p.add_argument("--budgets", type=str, default="flagship,highres",
+                   help="comma-separated subset of flagship,highres,paperres")
+    p.add_argument("--modes", type=str, default="segment,dense,pallas")
     args = p.parse_args()
     if args.cpu:
         import jax
@@ -78,9 +90,12 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    budgets = [("flagship", 384, 960, 2), ("highres", 1152, 2304, 2)]
+    budgets = [b for b in [("flagship", 384, 960, 2),
+                           ("highres", 1152, 2304, 2),
+                           ("paperres", 2560, 5120, 3)]
+               if b[0] in args.budgets.split(",")]
     for name, v_max, f_max, subdiv in budgets:
-        for mode in ("segment", "dense", "pallas"):
+        for mode in args.modes.split(","):
             ms = bench_block(mode, args.batch, v_max, f_max, subdiv,
                              args.hidden, args.depth, args.steps, args.warmup)
             print(json.dumps({"budget": name, "v_max": v_max, "mode": mode,

@@ -28,6 +28,9 @@ class EvalArgs:
     data_root: str = "data/synthetic_shapenet"
     split: str = "test"
     batch_size: int = 13
+    max_samples: int = 0   # 0 = the whole split; >0 = a uniform subset (e.g.
+                           # train-split F1 for generalization-gap diagnosis)
+    out_json: str = ""     # also write the eval dict here when set
     cpu: bool = False
 
 
@@ -57,10 +60,20 @@ def main() -> None:
     print(f"[eval] restored step {step} from {args.run_dir}", flush=True)
 
     ds = PreparedDataset(args.data_root, args.split)
-    result = evaluate(params, model, config, ds, np.arange(len(ds)),
-                      eval_config=EvalConfig(batch_size=args.batch_size),
+    indices = np.arange(len(ds))
+    if args.max_samples and args.max_samples < len(ds):
+        # uniform stride keeps the per-class balance of the on-disk ordering
+        indices = indices[:: len(ds) // args.max_samples][:args.max_samples]
+    result = evaluate(params, model, config, ds, indices,
+                      eval_config=EvalConfig(batch_size=args.batch_size,
+                                             data_diameter=ds.diameter),
                       dump_meshes_to=os.path.join(args.run_dir, "eval_samples"))
+    result["split"] = args.split
+    result["checkpoint_step"] = int(step)
     print(json.dumps(result, indent=2))
+    if args.out_json:
+        with open(args.out_json, "w") as fh:
+            json.dump(result, fh, indent=2)
 
 
 if __name__ == "__main__":

@@ -29,8 +29,12 @@ class RunArgs:
     run_dir: str = "runs/full_r1"
     data_root: str = "data/synthetic_shapenet"
     preset: str = "full"   # "full" (flagship/bench budget) | "highres"
-                           # (paper-scale 1152-vert budget)
+                           # (1152-vert budget) | "paperres" (2502 verts,
+                           # the paper's ~2.5k cap)
     epochs: int = 40
+    max_steps: int = 0     # stop after this many optimizer steps (0 = none);
+                           # lets a resumed run finish an ORIGINAL-length
+                           # cosine schedule without re-deriving epoch counts
     batch_size: int = 0    # 0 = keep the preset's batch; the relay charges a
                            # large fixed cost per dispatch, so bigger batches
                            # amortize it (same samples, fewer dispatches)
@@ -60,7 +64,7 @@ def main() -> None:
 
     from geometrics_tpu.data.shapenet import PreparedDataset
     from geometrics_tpu.train.presets import (
-        autoencoder_config, full_config, highres_config)
+        autoencoder_config, full_config, highres_config, paperres_config)
 
     train_ds = PreparedDataset(args.data_root, "train")
     test_ds = PreparedDataset(args.data_root, "test")
@@ -93,7 +97,8 @@ def main() -> None:
 
     from geometrics_tpu.train.trainer import train_geometrics
 
-    preset_fn = {"full": full_config, "highres": highres_config}[args.preset]
+    preset_fn = {"full": full_config, "highres": highres_config,
+                 "paperres": paperres_config}[args.preset]
     cfg = dataclasses.replace(
         preset_fn(args.run_dir, encoder_dir or "unused"),
         epochs=args.epochs, eval_every_epochs=args.eval_every,
@@ -111,7 +116,8 @@ def main() -> None:
         latent=cfg.loss.latent if args.with_latent else 0.0))
 
     t0 = time.time()
-    result = train_geometrics(cfg, dataset=train_ds, test_dataset=test_ds)
+    result = train_geometrics(cfg, dataset=train_ds, test_dataset=test_ds,
+                              max_steps=args.max_steps or None)
     print(f"[run] training done in {time.time()-t0:.0f}s", flush=True)
 
     ev = result["eval"]

@@ -39,6 +39,15 @@ class PreparedDataset:
     def __len__(self) -> int:
         return len(self.files)
 
+    @property
+    def diameter(self) -> float:
+        """Shape-normalization diameter, for eval threshold matching.
+
+        Trees whose manifest predates unit-diameter normalization (round 1)
+        were built at norm_radius=0.9 → diameter 1.8; evaluate() uses this to
+        report the geometrically scale-matched F1 columns for them."""
+        return 2.0 * float(self.manifest.get("norm_radius", 0.9))
+
     def class_of(self, index: int) -> int:
         return int(self.files[index].split("_")[0])
 

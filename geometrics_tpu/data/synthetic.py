@@ -277,6 +277,11 @@ class SyntheticShapeDataset:
     def __init__(self, config: SyntheticConfig = SyntheticConfig()):
         self.config = config
 
+    @property
+    def diameter(self) -> float:
+        """Shape-normalization diameter (eval threshold matching)."""
+        return 2.0 * self.config.norm_radius
+
     def __len__(self) -> int:
         return (self.config.num_classes * self.config.models_per_class
                 * self.config.views_per_model)

@@ -92,21 +92,23 @@ def _spmm_call(adj_counts: jax.Array, feats: jax.Array, *, normalize: bool,
     return out[:v, :d]
 
 
-@jax.custom_vjp
-def _spmm_mean(adj_counts: jax.Array, feats: jax.Array) -> jax.Array:
-    return _spmm_call(adj_counts, feats, normalize=True)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _spmm_mean(adj_counts: jax.Array, feats: jax.Array,
+               interpret: Optional[bool]) -> jax.Array:
+    return _spmm_call(adj_counts, feats, normalize=True, interpret=interpret)
 
 
-def _spmm_mean_fwd(adj_counts, feats):
-    return _spmm_mean(adj_counts, feats), adj_counts
+def _spmm_mean_fwd(adj_counts, feats, interpret):
+    return _spmm_mean(adj_counts, feats, interpret), adj_counts
 
 
-def _spmm_mean_bwd(adj_counts, g):
+def _spmm_mean_bwd(interpret, adj_counts, g):
     """out_i = Σ_j Â_ij x_j with Â = binarize(A)/deg ⇒ ∂x = Âᵀ g =
     binarize(A)ᵀ (g/deg).  Counts get a zero cotangent (integer topology)."""
     deg = jnp.sum(jnp.minimum(adj_counts, 1.0), axis=-1, keepdims=True)
     gx = _spmm_call(jnp.swapaxes(adj_counts, -1, -2),
-                    g / jnp.maximum(deg, 1.0), normalize=False)
+                    g / jnp.maximum(deg, 1.0), normalize=False,
+                    interpret=interpret)
     return jnp.zeros_like(adj_counts), gx
 
 
@@ -118,12 +120,11 @@ def spmm_mean_pallas(adj_counts: jax.Array, feats: jax.Array,
     """Mean-neighbor aggregation from raw counts (unbatched): [V,V],[V,D]→[V,D].
 
     Differentiable w.r.t. ``feats`` (custom VJP — the backward pass is the
-    transposed kernel launch); ``interpret`` forces interpreter mode for
-    off-TPU testing, otherwise auto-selected by backend."""
-    if interpret is not None:
-        return _spmm_call(adj_counts, feats, normalize=True,
-                          interpret=interpret)
-    return _spmm_mean(adj_counts, feats)
+    transposed kernel launch) for ANY ``interpret`` setting: the flag rides
+    through the custom_vjp as a static nondiff argument, so forcing
+    interpreter mode (off-TPU tests) keeps the documented differentiable
+    behavior (ADVICE r2)."""
+    return _spmm_mean(adj_counts, feats, interpret)
 
 
 def spmm_mean_batched(adj_counts: jax.Array, feats: jax.Array,

@@ -26,6 +26,7 @@ from ..models.gcn import MeshEncoder
 from ..models.voxel_decoder import VoxelDecoder, voxel_bce_loss, voxel_iou
 from ..parallel.sharding import make_mesh_for_batch, replicate_tree, shard_batch
 from ..utils.checkpoint import Checkpointer
+from ..utils.heartbeat import beat
 from ..utils.logging import MetricsLogger
 from .config import AutoEncoderConfig
 
@@ -89,9 +90,14 @@ def train_autoencoder(config: AutoEncoderConfig,
             models_per_class=config.models_per_class,
             seed=config.seed, render=False, voxels=True))
     if hasattr(dataset, "config"):
-        train_idx, _ = train_test_split(dataset)
-    else:  # a PreparedDataset split: already train-only
-        train_idx = np.arange(len(dataset))
+        train_idx, test_idx = train_test_split(dataset)
+    else:  # a PreparedDataset split: carve a held-out tail for the AE eval
+        # (the on-disk "test" split may lack voxels; a within-split holdout
+        # still measures encoder generalization, which is what the frozen
+        # latent loss depends on)
+        all_idx = np.arange(len(dataset))
+        n_hold = max(1, len(all_idx) // 10)
+        train_idx, test_idx = all_idx[:-n_hold], all_idx[-n_hold:]
 
     model = MeshVoxelAE(
         latent_dim=config.latent_dim, encoder_hidden=config.encoder_hidden,
@@ -120,6 +126,7 @@ def train_autoencoder(config: AutoEncoderConfig,
     aux = {}
     for epoch in range(config.epochs):
         for batch in it:
+            beat("ae_step")
             batch = shard_batch(
                 {k: batch[k] for k in ("gt_verts", "gt_faces", "voxels")}, mesh)
             params, opt_state, aux = step_fn(params, opt_state, batch)
@@ -130,10 +137,48 @@ def train_autoencoder(config: AutoEncoderConfig,
                 break
         if max_steps is not None and step >= max_steps:
             break
+    aux = jax.device_get(aux)
+    test_metrics = evaluate_autoencoder(params, model, dataset, test_idx,
+                                        config.batch_size, mesh)
+    if test_metrics:
+        aux = {**aux, **test_metrics}
+        logger.log(step, test_metrics)
     ckpt.save(step, {"params": jax.device_get(params), "step": step}, wait=True)
     logger.close()
-    return {"params": params, "metrics": jax.device_get(aux),
+    return {"params": params, "metrics": aux,
             "checkpoint_dir": config.checkpoint_dir, "model": model}
+
+
+def evaluate_autoencoder(params, model: MeshVoxelAE, dataset,
+                         indices, batch_size: int, mesh) -> Dict[str, float]:
+    """Held-out voxel BCE/IoU — the number that matters for the frozen-encoder
+    handoff (train-batch IoU alone says nothing about generalization)."""
+    if len(indices) < batch_size:
+        return {}
+
+    @jax.jit
+    def eval_step(params, batch):
+        fmask, vmask = _full_masks(batch)
+        logits, _ = model.apply(
+            {"params": params}, batch["gt_verts"], batch["gt_faces"],
+            fmask, vmask)
+        return (jnp.mean(voxel_bce_loss(logits, batch["voxels"])),
+                jnp.mean(voxel_iou(logits, batch["voxels"])))
+
+    it = BatchIterator(dataset, batch_size, shuffle=False,
+                       indices=np.asarray(indices), drop_remainder=True)
+    bces, ious = [], []
+    for batch in it:
+        beat("ae_eval")
+        batch = shard_batch(
+            {k: batch[k] for k in ("gt_verts", "gt_faces", "voxels")}, mesh)
+        bce, iou = jax.device_get(eval_step(params, batch))
+        bces.append(float(bce))
+        ious.append(float(iou))
+    if not bces:
+        return {}
+    return {"test_bce": float(np.mean(bces)), "test_iou": float(np.mean(ious)),
+            "test_batches": len(bces)}
 
 
 def main(argv=None) -> None:

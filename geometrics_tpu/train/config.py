@@ -104,10 +104,54 @@ class TrainConfig:
     steps_per_call: int = 1         # >1: lax.scan K train steps per dispatch
                                     # (cached-data path only) — amortizes
                                     # host→device round-trip latency
+    ignore_envelope: bool = False   # skip validate_envelope's clamps (for
+                                    # deliberately probing beyond the proven
+                                    # remote-worker envelope)
     # data
     num_classes: int = 13
     models_per_class: int = 32
     test_fraction: float = 0.2
+
+
+# Proven remote-TPU-worker envelope (CLAUDE.md / RESULTS.md, measured round 2):
+# the shared worker CRASHES on oversized programs, and the scan-length limit
+# scales inversely with program size.  Known kills at the highres budget
+# (v_max=1152): steps_per_call=50 (batch 16) and batch=32 (any k).  Known
+# good: batch 16 / k=20 at highres; batch 32 / k≈60 at the flagship budget
+# (v_max=384).  Larger budgets (paperres v_max=2560) were probed in round 3 at
+# batch 16 / k=20.  The rule below encodes those measurements.
+_ENVELOPE_VMAX_SMALL = 1024     # budgets below this have never crashed
+_ENVELOPE_MAX_BATCH = 16        # at v_max >= _ENVELOPE_VMAX_SMALL
+_ENVELOPE_MAX_K = 20            # at v_max >= _ENVELOPE_VMAX_SMALL
+
+
+def validate_envelope(config: "TrainConfig", backend: str) -> "TrainConfig":
+    """Clamp configs known to kill the remote TPU worker (warn + cap).
+
+    Round 2 lost a full night's quality run to configurations outside the
+    proven envelope; this makes the trainer refuse them by default.  Set
+    ``ignore_envelope=True`` to probe beyond it deliberately.  No-op off TPU
+    (the CPU path has no remote worker to kill).
+    """
+    if backend not in ("tpu", "axon") or config.ignore_envelope:
+        return config
+    if config.mesh.v_max < _ENVELOPE_VMAX_SMALL:
+        return config
+    changes = {}
+    if config.batch_size > _ENVELOPE_MAX_BATCH:
+        changes["batch_size"] = _ENVELOPE_MAX_BATCH
+    if config.steps_per_call > _ENVELOPE_MAX_K:
+        changes["steps_per_call"] = _ENVELOPE_MAX_K
+    if changes:
+        import warnings
+
+        warnings.warn(
+            f"config exceeds the proven remote-worker envelope at "
+            f"v_max={config.mesh.v_max} (batch<={_ENVELOPE_MAX_BATCH}, "
+            f"steps_per_call<={_ENVELOPE_MAX_K}); clamping {changes} — "
+            f"pass ignore_envelope=true to override", stacklevel=2)
+        config = dataclasses.replace(config, **changes)
+    return config
 
 
 def config_from_json(d: dict) -> "TrainConfig":

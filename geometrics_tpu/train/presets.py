@@ -96,6 +96,30 @@ def highres_config(run_dir: str = "runs/highres",
         checkpoint_dir=run_dir)
 
 
+def paperres_config(run_dir: str = "runs/paperres",
+                    ae_dir: str = "runs/ae") -> TrainConfig:
+    """TRUE paper-scale vertex budget: ~2.5k verts (SURVEY §2.1 #5 [P]).
+
+    Splitting is capacity-gated per round by the LIVE face count (a round can
+    split at most every live face), so from the level-2 icosphere (162 v /
+    320 f) two rounds top out at 162+320+960=1442 verts.  Paper scale instead
+    starts from the level-3 icosphere (642 v / 1280 f) and splits 930 faces
+    per round: 642 + 930 + 930 = 2502 verts, 1280 + 2·930 + 2·930 = 5000
+    faces — inside v_max=2560 / f_max=5120 (20×128 / 40×128 lane tiles).
+    Model parameters are V-agnostic (CNN + GCN weights), so highres
+    checkpoints warm-start this budget directly.
+    """
+    return TrainConfig(
+        model=ModelConfig(splits_per_round=930, split_threshold=0.0,
+                          scan_layers=True, adjacency_mode="dense",
+                          bfloat16=True),
+        mesh=MeshBudget(subdivisions=3, v_max=2560, f_max=5120),
+        batch_size=16, epochs=200, num_classes=13, models_per_class=32,
+        surface_samples=4096, gt_points=4096,
+        encoder_checkpoint=ae_dir,
+        checkpoint_dir=run_dir)
+
+
 PRESETS = {
     "overfit": overfit_config,
     "fixed_topo": fixed_topology_config,
@@ -103,6 +127,7 @@ PRESETS = {
     "splitting": splitting_config,
     "full": full_config,
     "highres": highres_config,
+    "paperres": paperres_config,
 }
 
 

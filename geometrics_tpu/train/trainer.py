@@ -27,8 +27,9 @@ from ..models.geometrics import GEOMetricsModel
 from ..models.perceptual_pooling import Camera
 from ..parallel.sharding import make_mesh_for_batch, replicate_tree, shard_batch
 from ..utils.checkpoint import Checkpointer
+from ..utils.heartbeat import beat
 from ..utils.logging import MetricsLogger, trace_annotation
-from .config import EvalConfig, TrainConfig
+from .config import EvalConfig, TrainConfig, validate_envelope
 from .losses import geometrics_loss
 
 
@@ -183,6 +184,18 @@ def make_epoch_step(model: GEOMetricsModel, tx: optax.GradientTransformation,
     # executable) have crashed the remote TPU worker; chunk to K steps and
     # draw each dispatch's batches from a fresh on-device permutation prefix
     k = min(steps_per_dispatch or steps_per_epoch, steps_per_epoch)
+    # coverage guard: each dispatch draws k·batch samples from a FRESH
+    # permutation, so a dispatch must never need more samples than exist
+    # (that would silently truncate every batch group to a subset)
+    assert k * config.batch_size <= n_samples, (
+        f"steps_per_call ({k}) x batch ({config.batch_size}) exceeds the "
+        f"train split ({n_samples} samples)")
+    if steps_per_epoch % k:
+        print(f"[trainer] note: steps_per_call={k} does not divide "
+              f"steps_per_epoch={steps_per_epoch}; an 'epoch' runs "
+              f"{-(-steps_per_epoch // k) * k} steps with each dispatch "
+              f"drawing a fresh random {k * config.batch_size}-sample subset "
+              f"(uniform coverage in expectation)", flush=True)
 
     def loss_fn(params, batch, init_mesh, key):
         out = model.apply({"params": params}, batch["image"],
@@ -246,12 +259,17 @@ def make_eval_step(model: GEOMetricsModel, config: TrainConfig,
             return jnp.where(denom > 1e-12,
                              2 * precision * recall / denom, 0.0)
 
-        return {"chamfer": cham,
-                "f1_tau": f1_at(eval_config.tau),
-                "f1_2tau": f1_at(2 * eval_config.tau),
-                "f1_tau_scaled": f1_at(eval_config.scale_matched_tau),
-                "f1_2tau_scaled": f1_at(2 * eval_config.scale_matched_tau),
-                "class_id": batch["class_id"], "mesh": mesh}
+        res = {"chamfer": cham,
+               "f1_tau": f1_at(eval_config.tau),
+               "f1_2tau": f1_at(2 * eval_config.tau),
+               "class_id": batch["class_id"], "mesh": mesh}
+        # scale-matched columns only when they differ (data_diameter != 1):
+        # at unit diameter they duplicate f1_tau/f1_2tau exactly and would
+        # just double the report's noise
+        if eval_config.data_diameter != 1.0:
+            res["f1_tau_scaled"] = f1_at(eval_config.scale_matched_tau)
+            res["f1_2tau_scaled"] = f1_at(2 * eval_config.scale_matched_tau)
+        return res
 
     return step
 
@@ -277,12 +295,14 @@ def evaluate(params, model, config: TrainConfig, dataset, indices,
     bs = eval_config.batch_size
     it = BatchIterator(dataset, bs, shuffle=False,
                        indices=idx_arr, drop_remainder=True)
-    rows = {"chamfer": [], "f1_tau": [], "f1_2tau": [],
-            "f1_tau_scaled": [], "f1_2tau_scaled": [], "class_id": []}
+    rows = {"chamfer": [], "f1_tau": [], "f1_2tau": [], "class_id": []}
+    if eval_config.data_diameter != 1.0:
+        rows.update({"f1_tau_scaled": [], "f1_2tau_scaled": []})
     key = jax.random.PRNGKey(seed)
 
     def run_batch(batch, keep: int, dump: bool):
         nonlocal key
+        beat("eval")
         key, sub = jax.random.split(key)
         res = step(params, shard_batch(batch, devmesh), init_mesh, sub)
         pred_mesh = res.pop("mesh")
@@ -346,6 +366,7 @@ def train_geometrics(config: TrainConfig,
     SyntheticShapeDataset (split by ``config.test_fraction``) or a
     PreparedDataset train split with ``test_dataset`` its test split.
     """
+    config = validate_envelope(config, jax.default_backend())
     if dataset is None:
         dataset = SyntheticShapeDataset(SyntheticConfig(
             num_classes=config.num_classes,
@@ -454,6 +475,11 @@ def train_geometrics(config: TrainConfig,
     step = start_step
     aux: Dict[str, Any] = {}
     eval_result: Dict[str, Any] = {}
+    # evaluate() thresholds follow the dataset's normalization (ADVICE r2:
+    # legacy diameter-1.8 trees need the scale-matched tau columns)
+    eval_cfg = EvalConfig(batch_size=config.eval_batch_size,
+                          data_diameter=float(
+                              getattr(eval_dataset, "diameter", 1.0)))
     if epoch_mode:
         # Fully device-resident epochs: the running PRNG key lives on device,
         # indices are permuted on device, scalars come back as ONE array and
@@ -465,14 +491,17 @@ def train_geometrics(config: TrainConfig,
         aux = {}
         d = 0
         done = False
+        eval_is_current = False  # does eval_result reflect current params?
         cache_arrays = cache.arrays  # donated through every dispatch — only
         cache.arrays = None          # the returned handle stays valid
         for epoch in range(config.epochs):
             for _ in range(disp_per_epoch):
+                beat("dispatch")
                 params, opt_state, dev_key, aux_mat, cache_arrays = epoch_fn(
                     params, opt_state, cache_arrays, init_mesh, dev_key)
                 step += k_disp
                 d += 1
+                eval_is_current = False
                 if d % log_every_disp == 0 or (epoch == config.epochs - 1):
                     last = np.asarray(jax.device_get(aux_mat[-1]))
                     aux = dict(zip(aux_keys, (float(v) for v in last)))
@@ -485,17 +514,28 @@ def train_geometrics(config: TrainConfig,
             if (epoch + 1) % config.eval_every_epochs == 0 and not done:
                 eval_result = evaluate(
                     params, model, config, eval_dataset, test_idx,
-                    eval_config=EvalConfig(batch_size=config.eval_batch_size),
+                    eval_config=eval_cfg,
                     mesh_devices=devmesh,
                     dump_meshes_to=os.path.join(
                         config.checkpoint_dir, "samples",
                         f"epoch{epoch + 1:04d}"))
+                eval_is_current = True
                 logger.log(step, {f"eval_{k}": v for k, v in
                                   eval_result.items()
                                   if not isinstance(v, dict)})
             if done:
                 break
         ckpt.save(step, _snapshot(params, opt_state, step), wait=True)
+        if config.eval_every_epochs > 0 and not eval_is_current and step > start_step:
+            # final-params eval (a max_steps stop would otherwise return the
+            # PREVIOUS eval window's numbers as the run's result)
+            eval_result = evaluate(
+                params, model, config, eval_dataset, test_idx,
+                eval_config=eval_cfg, mesh_devices=devmesh,
+                dump_meshes_to=os.path.join(config.checkpoint_dir, "samples",
+                                            "final"))
+            logger.log(step, {f"eval_{k}": v for k, v in eval_result.items()
+                              if not isinstance(v, dict)})
         logger.close()
         return {"params": params, "model": model, "metrics": aux,
                 "eval": eval_result,
@@ -509,6 +549,7 @@ def train_geometrics(config: TrainConfig,
         groups = (cache.epoch_indices(config.batch_size, idx_rng)
                   if use_cache else it)
         for group in groups:
+            beat("step")
             # profile a short post-warmup window when requested (§5 tracing)
             if config.profile_dir and step == 5:
                 jax.profiler.start_trace(config.profile_dir)
@@ -538,7 +579,7 @@ def train_geometrics(config: TrainConfig,
         if (epoch + 1) % config.eval_every_epochs == 0:
             eval_result = evaluate(
                 params, model, config, eval_dataset, test_idx,
-                eval_config=EvalConfig(batch_size=config.eval_batch_size),
+                eval_config=eval_cfg,
                 mesh_devices=devmesh,
                 dump_meshes_to=os.path.join(config.checkpoint_dir, "samples",
                                             f"epoch{epoch + 1:04d}"))
