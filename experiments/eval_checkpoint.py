@@ -62,8 +62,10 @@ def main() -> None:
     ds = PreparedDataset(args.data_root, args.split)
     indices = np.arange(len(ds))
     if args.max_samples and args.max_samples < len(ds):
-        # uniform stride keeps the per-class balance of the on-disk ordering
-        indices = indices[:: len(ds) // args.max_samples][:args.max_samples]
+        # linspace (not stride+truncate: that can drop whole trailing classes
+        # of the class-ordered file list) keeps per-class balance
+        indices = np.unique(np.linspace(0, len(ds) - 1,
+                                        args.max_samples).astype(np.int64))
     result = evaluate(params, model, config, ds, indices,
                       eval_config=EvalConfig(batch_size=args.batch_size,
                                              data_diameter=ds.diameter),

@@ -41,6 +41,9 @@ class RunArgs:
     with_latent: bool = False
     ae_epochs: int = 15
     eval_every: int = 10
+    save_every: int = 0    # checkpoint cadence in epochs (0 = same as
+                           # eval_every); decouple when an external budget
+                           # cut-off may kill the run between evals
     eval_batch_size: int = 13
     steps_per_call: int = 1
     lr: float = 3e-4
@@ -102,7 +105,7 @@ def main() -> None:
     cfg = dataclasses.replace(
         preset_fn(args.run_dir, encoder_dir or "unused"),
         epochs=args.epochs, eval_every_epochs=args.eval_every,
-        save_every_epochs=args.eval_every,
+        save_every_epochs=args.save_every or args.eval_every,
         eval_batch_size=args.eval_batch_size,
         steps_per_call=args.steps_per_call, learning_rate=args.lr,
         log_every=args.log_every,
