@@ -255,3 +255,31 @@ def test_epoch_mode_trains(tiny_dataset, tmp_path):
     m = out["metrics"]
     assert np.isfinite(m["total"]) and m["verts_in_use"] > 0
     assert out["eval"] and np.isfinite(out["eval"]["mean_chamfer"])
+
+
+def test_validate_envelope_clamps_on_tpu_only():
+    """Configs measured to crash the remote TPU worker are clamped on TPU
+    backends and left alone on CPU (VERDICT r2 weak #3)."""
+    import dataclasses
+    import warnings
+
+    from geometrics_tpu.train.config import (
+        MeshBudget, TrainConfig, validate_envelope)
+
+    risky = TrainConfig(mesh=MeshBudget(v_max=1152, f_max=2304),
+                        batch_size=32, steps_per_call=50)
+    # CPU: untouched (no remote worker to protect)
+    assert validate_envelope(risky, "cpu") is risky
+    # TPU: clamped to the proven envelope, with a warning
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        safe = validate_envelope(risky, "tpu")
+    assert safe.batch_size == 16 and safe.steps_per_call == 20
+    assert any("envelope" in str(x.message) for x in w)
+    # explicit override is honored
+    probe = dataclasses.replace(risky, ignore_envelope=True)
+    assert validate_envelope(probe, "tpu") is probe
+    # small budgets have never crashed: untouched at any batch/k
+    small = TrainConfig(mesh=MeshBudget(v_max=384, f_max=960),
+                        batch_size=32, steps_per_call=60)
+    assert validate_envelope(small, "axon") is small
