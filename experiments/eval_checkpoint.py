@@ -31,6 +31,9 @@ class EvalArgs:
     max_samples: int = 0   # 0 = the whole split; >0 = a uniform subset (e.g.
                            # train-split F1 for generalization-gap diagnosis)
     out_json: str = ""     # also write the eval dict here when set
+    cached: bool = False   # device-cached eval (one upload + scanned batches:
+                           # seconds instead of one relay round trip per
+                           # batch; protocol-identical, no qualitative dumps)
     cpu: bool = False
 
 
@@ -47,7 +50,8 @@ def main() -> None:
 
     from geometrics_tpu.data.shapenet import PreparedDataset
     from geometrics_tpu.train.config import EvalConfig
-    from geometrics_tpu.train.trainer import build_model, evaluate
+    from geometrics_tpu.train.trainer import (
+        build_model, evaluate, evaluate_cached)
     from geometrics_tpu.utils.checkpoint import Checkpointer
 
     with open(os.path.join(args.run_dir, "config.json")) as fh:
@@ -66,10 +70,16 @@ def main() -> None:
         # of the class-ordered file list) keeps per-class balance
         indices = np.unique(np.linspace(0, len(ds) - 1,
                                         args.max_samples).astype(np.int64))
-    result = evaluate(params, model, config, ds, indices,
-                      eval_config=EvalConfig(batch_size=args.batch_size,
-                                             data_diameter=ds.diameter),
-                      dump_meshes_to=os.path.join(args.run_dir, "eval_samples"))
+    eval_cfg = EvalConfig(batch_size=args.batch_size,
+                          data_diameter=ds.diameter)
+    if args.cached:
+        result = evaluate_cached(params, model, config, ds, indices,
+                                 eval_config=eval_cfg)
+    else:
+        result = evaluate(params, model, config, ds, indices,
+                          eval_config=eval_cfg,
+                          dump_meshes_to=os.path.join(args.run_dir,
+                                                      "eval_samples"))
     result["split"] = args.split
     result["checkpoint_step"] = int(step)
     print(json.dumps(result, indent=2))

@@ -230,6 +230,45 @@ def make_epoch_step(model: GEOMetricsModel, tx: optax.GradientTransformation,
     return epoch_fn, aux_keys, k
 
 
+def _eval_batch_metrics(model: GEOMetricsModel, eval_config: EvalConfig,
+                        params, batch, init_mesh, key):
+    """Shared per-batch eval math (SURVEY.md §3.4): forward (no grad),
+    surface sample, Chamfer + F1@τ/2τ.  Used identically by the host-fed
+    per-batch path (make_eval_step) and the device-cached scan path
+    (evaluate_cached), so both report THE SAME protocol by construction.
+    Returns (per-sample metric dict, predicted MeshBuffer)."""
+    from ..ops import nearest_sqdists  # fused Pallas on TPU, lax on CPU
+
+    out = model.apply({"params": params}, batch["image"],
+                      batch_camera(batch), init_mesh)
+    mesh = out.mesh
+    pts = sample_surface_batched(
+        key, mesh.verts, mesh.faces, mesh.face_mask,
+        eval_config.eval_points)
+    gt = batch["gt_points"][:, :eval_config.eval_points]
+    d_pg, d_gp = nearest_sqdists(pts, gt)
+    cham = jnp.mean(d_pg, axis=-1) + jnp.mean(d_gp, axis=-1)
+
+    def f1_at(tau):
+        precision = jnp.mean((d_pg < tau).astype(jnp.float32), axis=-1)
+        recall = jnp.mean((d_gp < tau).astype(jnp.float32), axis=-1)
+        denom = jnp.maximum(precision + recall, 1e-12)
+        return jnp.where(denom > 1e-12,
+                         2 * precision * recall / denom, 0.0)
+
+    res = {"chamfer": cham,
+           "f1_tau": f1_at(eval_config.tau),
+           "f1_2tau": f1_at(2 * eval_config.tau),
+           "class_id": batch["class_id"]}
+    # scale-matched columns only when they differ (data_diameter != 1):
+    # at unit diameter they duplicate f1_tau/f1_2tau exactly and would
+    # just double the report's noise
+    if eval_config.data_diameter != 1.0:
+        res["f1_tau_scaled"] = f1_at(eval_config.scale_matched_tau)
+        res["f1_2tau_scaled"] = f1_at(2 * eval_config.scale_matched_tau)
+    return res, mesh
+
+
 def make_eval_step(model: GEOMetricsModel, config: TrainConfig,
                    eval_config: EvalConfig):
     """Per-batch eval: forward (no grad), sample, Chamfer + F1@τ + F1@2τ.
@@ -238,38 +277,11 @@ def make_eval_step(model: GEOMetricsModel, config: TrainConfig,
     (SURVEY.md §3.4 protocol).
     """
 
-    from ..ops import nearest_sqdists  # fused Pallas on TPU, lax on CPU
-
     @jax.jit
     def step(params, batch, init_mesh, key):
-        out = model.apply({"params": params}, batch["image"],
-                          batch_camera(batch), init_mesh)
-        mesh = out.mesh
-        pts = sample_surface_batched(
-            key, mesh.verts, mesh.faces, mesh.face_mask,
-            eval_config.eval_points)
-        gt = batch["gt_points"][:, :eval_config.eval_points]
-        d_pg, d_gp = nearest_sqdists(pts, gt)
-        cham = jnp.mean(d_pg, axis=-1) + jnp.mean(d_gp, axis=-1)
-
-        def f1_at(tau):
-            precision = jnp.mean((d_pg < tau).astype(jnp.float32), axis=-1)
-            recall = jnp.mean((d_gp < tau).astype(jnp.float32), axis=-1)
-            denom = jnp.maximum(precision + recall, 1e-12)
-            return jnp.where(denom > 1e-12,
-                             2 * precision * recall / denom, 0.0)
-
-        res = {"chamfer": cham,
-               "f1_tau": f1_at(eval_config.tau),
-               "f1_2tau": f1_at(2 * eval_config.tau),
-               "class_id": batch["class_id"], "mesh": mesh}
-        # scale-matched columns only when they differ (data_diameter != 1):
-        # at unit diameter they duplicate f1_tau/f1_2tau exactly and would
-        # just double the report's noise
-        if eval_config.data_diameter != 1.0:
-            res["f1_tau_scaled"] = f1_at(eval_config.scale_matched_tau)
-            res["f1_2tau_scaled"] = f1_at(2 * eval_config.scale_matched_tau)
-        return res
+        res, mesh = _eval_batch_metrics(model, eval_config, params, batch,
+                                        init_mesh, key)
+        return {**res, "mesh": mesh}
 
     return step
 
@@ -340,7 +352,12 @@ def evaluate(params, model, config: TrainConfig, dataset, indices,
                   dump=(len(idx_arr) < bs))
     if not rows["chamfer"]:
         return {}
-    cat = {k: np.concatenate(v) for k, v in rows.items()}
+    return _aggregate_eval_rows({k: np.concatenate(v) for k, v in rows.items()})
+
+
+def _aggregate_eval_rows(cat: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Per-sample metric arrays → mean + per-class report (shared by the
+    host-fed and device-cached eval paths)."""
     metric_keys = [k for k in cat if k != "class_id"]
     out: Dict[str, Any] = {
         f"mean_{k}": float(cat[k].mean()) for k in metric_keys}
@@ -352,6 +369,88 @@ def evaluate(params, model, config: TrainConfig, dataset, indices,
         per_class[name] = {k: float(cat[k][sel].mean()) for k in metric_keys}
     out["per_class"] = per_class
     return out
+
+
+def evaluate_cached(params, model, config: TrainConfig, dataset, indices,
+                    eval_config: EvalConfig = EvalConfig(), seed: int = 0,
+                    mesh_devices=None, batches_per_dispatch: int = 26
+                    ) -> Dict[str, Any]:
+    """Device-cached eval: upload the eval split to HBM once, scan batches on
+    device, fetch ONE stacked metric array per dispatch chunk.
+
+    Through the remote relay every host-fed eval batch costs a full round
+    trip (~4-5 s — a 234-batch eval ran ~18 min in round 3); this path cuts
+    that to a handful of dispatches.  Protocol-identical to ``evaluate``:
+    the same per-batch math (``_eval_batch_metrics``), the SAME PRNG chain
+    (one split per batch from ``PRNGKey(seed)``), the same
+    pad-remainder-with-repeats-then-trim coverage of every sample, and the
+    same aggregation.  Equivalence is pinned by
+    tests/test_train.py::test_cached_eval_matches_host_fed.
+
+    No qualitative dumps here — use ``evaluate(dump_meshes_to=...)`` (one
+    batch) when grids/.obj samples are wanted.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from ..data.device_cache import DeviceDataCache
+
+    devmesh = mesh_devices
+    if devmesh is None or eval_config.batch_size % devmesh.devices.size:
+        devmesh = make_mesh_for_batch(eval_config.batch_size)
+        params = replicate_tree(params, devmesh)
+    init_mesh = replicate_tree(
+        build_init_mesh(config, eval_config.batch_size), devmesh)
+    idx_arr = np.asarray(indices)
+    n, bs = len(idx_arr), eval_config.batch_size
+    if n == 0:
+        return {}
+    # positions into the cache (cache rows follow idx_arr order); remainder
+    # batch padded with repeats of the last sample, trimmed after fetch
+    n_full, rem = n // bs, n % bs
+    pos = np.arange(n, dtype=np.int32)
+    batches = [pos[:n_full * bs].reshape(n_full, bs)] if n_full else []
+    if rem:
+        tail = np.concatenate([pos[n - rem:], np.repeat(pos[-1:], bs - rem)])
+        batches.append(tail[None])
+    pos_mat = np.concatenate(batches, axis=0)  # [n_batches, bs]
+
+    keys = [k for k in ("image", "azimuth", "elevation", "distance",
+                        "gt_points", "class_id")
+            if k in dataset.get(int(idx_arr[0]))]
+    cache = DeviceDataCache(dataset, idx_arr, keys, devmesh)
+    # [chunk, batch] index matrices shard along the BATCH axis (dim 1)
+    idx_sharding = NamedSharding(devmesh, PartitionSpec(None, "data"))
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def eval_chunk(params, data, idxs, init_mesh, key):
+        def body(k, idx):
+            k, sub = jax.random.split(k)
+            batch = DeviceDataCache.gather(data, idx)
+            batch["gt_points"] = batch["gt_points"][:, :eval_config.eval_points]
+            res, _ = _eval_batch_metrics(model, eval_config, params, batch,
+                                         init_mesh, sub)
+            return k, res
+        key, mats = jax.lax.scan(body, key, idxs)
+        return key, mats, data
+
+    key = jax.random.PRNGKey(seed)
+    data = cache.arrays
+    cache.arrays = None  # donated through each chunk — rebind the returned dict
+    chunks = []
+    for c0 in range(0, len(pos_mat), batches_per_dispatch):
+        idxs = jax.device_put(pos_mat[c0:c0 + batches_per_dispatch],
+                              idx_sharding)
+        beat("eval")
+        key, mats, data = eval_chunk(params, data, idxs, init_mesh, key)
+        chunks.append(jax.device_get(mats))
+    cat = {k: np.concatenate([np.asarray(ch[k]).reshape(-1)
+                              for ch in chunks])[:n + (bs - rem if rem else 0)]
+           for k in chunks[0]}
+    if rem:  # drop the pad rows of the final batch
+        keep = np.ones(len(cat["chamfer"]), bool)
+        keep[n_full * bs + rem:] = False
+        cat = {k: v[keep] for k, v in cat.items()}
+    return _aggregate_eval_rows(cat)
 
 
 def train_geometrics(config: TrainConfig,

@@ -283,3 +283,58 @@ def test_validate_envelope_clamps_on_tpu_only():
     small = TrainConfig(mesh=MeshBudget(v_max=384, f_max=960),
                         batch_size=32, steps_per_call=60)
     assert validate_envelope(small, "axon") is small
+
+
+def test_cached_eval_matches_host_fed(tiny_dataset, tmp_path):
+    """evaluate_cached must reproduce evaluate() exactly: same per-batch
+    math, same PRNG chain, same remainder coverage, same aggregation.
+
+    Images are pre-quantized to the device cache's uint8 storage so both
+    paths see bit-identical inputs."""
+    from geometrics_tpu.train.config import EvalConfig
+    from geometrics_tpu.train.trainer import (
+        batch_camera, build_init_mesh, build_model, evaluate, evaluate_cached)
+
+    class QuantizedImages:
+        """Dataset adapter matching DeviceDataCache's uint8 image packing."""
+
+        def __init__(self, ds):
+            self.ds = ds
+
+        def __len__(self):
+            return len(self.ds)
+
+        def class_of(self, i):
+            return self.ds.class_of(i)
+
+        def get(self, i):
+            s = dict(self.ds.get(i))
+            img = np.clip(np.rint(s["image"] * 255.0), 0, 255)
+            s["image"] = (img / 255.0).astype(np.float32)
+            return s
+
+    ds = QuantizedImages(tiny_dataset)
+    config = _tiny_train_config(tmp_path)
+    model = build_model(config)
+    init_mesh = build_init_mesh(config, 1)
+    s0 = ds.get(0)
+    b0 = {k: jnp.asarray(v)[None] for k, v in s0.items()}
+    params = model.init(jax.random.PRNGKey(0), b0["image"], batch_camera(b0),
+                        init_mesh)["params"]
+
+    # 7 indices with batch 3 → two full batches + remainder of 1
+    indices = np.arange(7)
+    ecfg = EvalConfig(batch_size=3, eval_points=128)
+    ref = evaluate(params, model, config, ds, indices, eval_config=ecfg)
+    fast = evaluate_cached(params, model, config, ds, indices,
+                           eval_config=ecfg, batches_per_dispatch=2)
+    assert ref["num_samples"] == fast["num_samples"] == 7
+    for k in ref:
+        if k in ("per_class", "num_samples"):
+            continue
+        assert abs(ref[k] - fast[k]) < 1e-5, (k, ref[k], fast[k])
+    assert set(ref["per_class"]) == set(fast["per_class"])
+    for cls in ref["per_class"]:
+        for k in ref["per_class"][cls]:
+            assert abs(ref["per_class"][cls][k]
+                       - fast["per_class"][cls][k]) < 1e-5, (cls, k)
