@@ -107,6 +107,12 @@ class TrainConfig:
     ignore_envelope: bool = False   # skip validate_envelope's clamps (for
                                     # deliberately probing beyond the proven
                                     # remote-worker envelope)
+    cached_eval: bool = True        # in-run evals via evaluate_cached (eval
+                                    # split uploaded once, batches scanned on
+                                    # device — seconds instead of one relay
+                                    # round trip per batch); qualitative
+                                    # dumps still come from one host-fed
+                                    # batch.  Protocol-identical (tested).
     # data
     num_classes: int = 13
     models_per_class: int = 32

@@ -373,8 +373,8 @@ def _aggregate_eval_rows(cat: Dict[str, np.ndarray]) -> Dict[str, Any]:
 
 def evaluate_cached(params, model, config: TrainConfig, dataset, indices,
                     eval_config: EvalConfig = EvalConfig(), seed: int = 0,
-                    mesh_devices=None, batches_per_dispatch: int = 26
-                    ) -> Dict[str, Any]:
+                    mesh_devices=None, batches_per_dispatch: int = 26,
+                    cache_holder: Optional[list] = None) -> Dict[str, Any]:
     """Device-cached eval: upload the eval split to HBM once, scan batches on
     device, fetch ONE stacked metric array per dispatch chunk.
 
@@ -389,6 +389,11 @@ def evaluate_cached(params, model, config: TrainConfig, dataset, indices,
 
     No qualitative dumps here — use ``evaluate(dump_meshes_to=...)`` (one
     batch) when grids/.obj samples are wanted.
+
+    ``cache_holder``: optional 1-element list reusing the uploaded eval cache
+    across calls (the arrays are donated through every dispatch and the
+    returned alias is stored back).  Caller's contract: the same
+    dataset+indices on every call with the same holder.
     """
     from jax.sharding import NamedSharding, PartitionSpec
 
@@ -414,10 +419,15 @@ def evaluate_cached(params, model, config: TrainConfig, dataset, indices,
         batches.append(tail[None])
     pos_mat = np.concatenate(batches, axis=0)  # [n_batches, bs]
 
-    keys = [k for k in ("image", "azimuth", "elevation", "distance",
-                        "gt_points", "class_id")
-            if k in dataset.get(int(idx_arr[0]))]
-    cache = DeviceDataCache(dataset, idx_arr, keys, devmesh)
+    if cache_holder and cache_holder[0] is not None:
+        data = cache_holder[0]
+    else:
+        keys = [k for k in ("image", "azimuth", "elevation", "distance",
+                            "gt_points", "class_id")
+                if k in dataset.get(int(idx_arr[0]))]
+        cache = DeviceDataCache(dataset, idx_arr, keys, devmesh)
+        data = cache.arrays
+        cache.arrays = None  # donated through each chunk — rebind below
     # [chunk, batch] index matrices shard along the BATCH axis (dim 1)
     idx_sharding = NamedSharding(devmesh, PartitionSpec(None, "data"))
 
@@ -434,8 +444,6 @@ def evaluate_cached(params, model, config: TrainConfig, dataset, indices,
         return key, mats, data
 
     key = jax.random.PRNGKey(seed)
-    data = cache.arrays
-    cache.arrays = None  # donated through each chunk — rebind the returned dict
     chunks = []
     for c0 in range(0, len(pos_mat), batches_per_dispatch):
         idxs = jax.device_put(pos_mat[c0:c0 + batches_per_dispatch],
@@ -443,6 +451,8 @@ def evaluate_cached(params, model, config: TrainConfig, dataset, indices,
         beat("eval")
         key, mats, data = eval_chunk(params, data, idxs, init_mesh, key)
         chunks.append(jax.device_get(mats))
+    if cache_holder is not None:
+        cache_holder[0] = data
     cat = {k: np.concatenate([np.asarray(ch[k]).reshape(-1)
                               for ch in chunks])[:n + (bs - rem if rem else 0)]
            for k in chunks[0]}
@@ -579,6 +589,28 @@ def train_geometrics(config: TrainConfig,
     eval_cfg = EvalConfig(batch_size=config.eval_batch_size,
                           data_diameter=float(
                               getattr(eval_dataset, "diameter", 1.0)))
+    eval_cache_holder = [None]  # reused device-resident eval split
+
+    def run_eval(params_, dump_dir):
+        """In-run eval: cached scan for the metrics (seconds), one host-fed
+        batch for the qualitative grids/.obj dumps."""
+        if not config.cached_eval:
+            return evaluate(params_, model, config, eval_dataset, test_idx,
+                            eval_config=eval_cfg, mesh_devices=devmesh,
+                            dump_meshes_to=dump_dir)
+        res = evaluate_cached(params_, model, config, eval_dataset, test_idx,
+                              eval_config=eval_cfg, mesh_devices=devmesh,
+                              cache_holder=eval_cache_holder)
+        if dump_dir is not None and len(test_idx) >= eval_cfg.batch_size:
+            try:
+                evaluate(params_, model, config, eval_dataset,
+                         np.asarray(test_idx)[:eval_cfg.batch_size],
+                         eval_config=eval_cfg, mesh_devices=devmesh,
+                         dump_meshes_to=dump_dir)
+            except Exception as e:  # figures are best-effort, never fatal
+                print(f"[trainer] dump batch skipped: {e}", flush=True)
+        return res
+
     if epoch_mode:
         # Fully device-resident epochs: the running PRNG key lives on device,
         # indices are permuted on device, scalars come back as ONE array and
@@ -611,13 +643,9 @@ def train_geometrics(config: TrainConfig,
             if (epoch + 1) % config.save_every_epochs == 0 or done:
                 ckpt.save(step, _snapshot(params, opt_state, step), wait=True)
             if (epoch + 1) % config.eval_every_epochs == 0 and not done:
-                eval_result = evaluate(
-                    params, model, config, eval_dataset, test_idx,
-                    eval_config=eval_cfg,
-                    mesh_devices=devmesh,
-                    dump_meshes_to=os.path.join(
-                        config.checkpoint_dir, "samples",
-                        f"epoch{epoch + 1:04d}"))
+                eval_result = run_eval(
+                    params, os.path.join(config.checkpoint_dir, "samples",
+                                         f"epoch{epoch + 1:04d}"))
                 eval_is_current = True
                 logger.log(step, {f"eval_{k}": v for k, v in
                                   eval_result.items()
@@ -628,11 +656,9 @@ def train_geometrics(config: TrainConfig,
         if config.eval_every_epochs > 0 and not eval_is_current and step > start_step:
             # final-params eval (a max_steps stop would otherwise return the
             # PREVIOUS eval window's numbers as the run's result)
-            eval_result = evaluate(
-                params, model, config, eval_dataset, test_idx,
-                eval_config=eval_cfg, mesh_devices=devmesh,
-                dump_meshes_to=os.path.join(config.checkpoint_dir, "samples",
-                                            "final"))
+            eval_result = run_eval(
+                params, os.path.join(config.checkpoint_dir, "samples",
+                                     "final"))
             logger.log(step, {f"eval_{k}": v for k, v in eval_result.items()
                               if not isinstance(v, dict)})
         logger.close()
@@ -676,12 +702,9 @@ def train_geometrics(config: TrainConfig,
                 max_steps is not None and step >= max_steps):
             ckpt.save(step, _snapshot(params, opt_state, step), wait=True)
         if (epoch + 1) % config.eval_every_epochs == 0:
-            eval_result = evaluate(
-                params, model, config, eval_dataset, test_idx,
-                eval_config=eval_cfg,
-                mesh_devices=devmesh,
-                dump_meshes_to=os.path.join(config.checkpoint_dir, "samples",
-                                            f"epoch{epoch + 1:04d}"))
+            eval_result = run_eval(
+                params, os.path.join(config.checkpoint_dir, "samples",
+                                     f"epoch{epoch + 1:04d}"))
             logger.log(step, {f"eval_{k}": v for k, v in eval_result.items()
                               if not isinstance(v, dict)})
         if max_steps is not None and step >= max_steps:
