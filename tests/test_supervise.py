@@ -83,6 +83,22 @@ def test_crashing_child_is_relaunched(tmp_path):
     assert "crash" in ev and ev[-1] == "done"
 
 
+def test_budget_stop_kills_healthy_child(tmp_path):
+    # a healthy (heartbeating) child is still stopped — cleanly, rc 0 — when
+    # the wall-clock budget runs out; this is the path a long quality run
+    # takes at the end of its supervisor window
+    child = _write_child(tmp_path, (
+        "import os, time\n"
+        "while True:\n"
+        "    open(os.environ['GEOMETRICS_HEARTBEAT_FILE'], 'w').write('1')\n"
+        "    time.sleep(0.2)\n"))
+    rc = supervise([sys.executable, child], str(tmp_path), stall_secs=30,
+                   max_restarts=3, max_hours=8.0 / 3600, backoff_secs=0.1,
+                   startup_grace_secs=60, poll_secs=0.5)
+    assert rc == 0
+    assert _events(tmp_path)[-1] == "budget_stop"
+
+
 def test_max_restarts_bounds_the_session(tmp_path):
     child = _write_child(tmp_path, "import sys\nsys.exit(3)\n")
     rc = supervise([sys.executable, child], str(tmp_path), stall_secs=30,
