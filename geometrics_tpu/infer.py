@@ -57,7 +57,9 @@ class Predictor:
             config = config_from_json(json.load(fh))
         model = build_model(config)
         restored = Checkpointer(run_dir).restore_raw(step)
-        return cls(model, restored["params"], config, batch_size)
+        # EMA runs serve their Polyak average when the snapshot carries one
+        params = restored.get("ema") or restored["params"]
+        return cls(model, params, config, batch_size)
 
     def predict(self, images: np.ndarray, azimuth: np.ndarray,
                 elevation: np.ndarray, distance: np.ndarray) -> MeshBuffer:

@@ -107,6 +107,14 @@ class TrainConfig:
     ignore_envelope: bool = False   # skip validate_envelope's clamps (for
                                     # deliberately probing beyond the proven
                                     # remote-worker envelope)
+    ema_decay: float = 0.0          # >0: maintain a Polyak/EMA average of
+                                    # params (decay per optimizer step, e.g.
+                                    # 0.999) updated inside the jitted
+                                    # step/scan; evals + the returned/best
+                                    # params use the average.  Checkpoints
+                                    # gain an "ema" tree; resuming a pre-EMA
+                                    # checkpoint seeds the average from the
+                                    # restored params.  Default off.
     cached_eval: bool = True        # in-run evals via evaluate_cached (eval
                                     # split uploaded once, batches scanned on
                                     # device — seconds instead of one relay

@@ -161,7 +161,9 @@ def make_epoch_step(model: GEOMetricsModel, tx: optax.GradientTransformation,
 
     Returns (epoch_fn, aux_keys, k): epoch_fn(params, opt_state, data,
     init_mesh, key) → (params, opt_state, next_key,
-    aux_mat [steps, len(aux_keys)], data).
+    aux_mat [steps, len(aux_keys)], data).  With ``config.ema_decay > 0``
+    the signature gains an ``ema`` tree after ``params`` on both sides
+    (updated once per inner step, carried through the scan on device).
 
     ``data`` (the device cache) is DONATED and aliased straight through to
     the last output: the relay terminal charges ~10 s/dispatch for a GB-scale
@@ -206,6 +208,38 @@ def make_epoch_step(model: GEOMetricsModel, tx: optax.GradientTransformation,
             encode_fn=encode_fn, gt_mesh=gt_mesh, chamfer_fn=chamfer_fn,
             multi_stage_chamfer=config.multi_stage_chamfer)
 
+    ema_d = float(getattr(config, "ema_decay", 0.0))
+
+    def _train_body(p, o, data, idx, init_mesh, sub):
+        batch = DeviceDataCache.gather(data, idx)
+        batch["gt_points"] = batch["gt_points"][:, :config.gt_points]
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, batch, init_mesh, sub)
+        updates, o = tx.update(grads, o, p)
+        p = optax.apply_updates(p, updates)
+        return p, o, jnp.stack([aux[a] for a in aux_keys])
+
+    if ema_d > 0.0:
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 5))
+        def epoch_fn(params, ema, opt_state, data, init_mesh, key):
+            key, perm_key = jax.random.split(key)
+            order = jax.random.permutation(perm_key, n_samples)
+            idxs = order[:k * config.batch_size].reshape(k, config.batch_size)
+
+            def body(carry, idx):
+                p, e, o, k = carry
+                k, sub = jax.random.split(k)
+                p, o, row = _train_body(p, o, data, idx, init_mesh, sub)
+                e = jax.tree.map(lambda ev, pv: ema_d * ev + (1 - ema_d) * pv,
+                                 e, p)
+                return (p, e, o, k), row
+
+            (params, ema, opt_state, key), aux_mat = jax.lax.scan(
+                body, (params, ema, opt_state, key), idxs)
+            return params, ema, opt_state, key, aux_mat, data
+
+        return epoch_fn, aux_keys, k
+
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 4))
     def epoch_fn(params, opt_state, data, init_mesh, key):
         key, perm_key = jax.random.split(key)
@@ -215,13 +249,8 @@ def make_epoch_step(model: GEOMetricsModel, tx: optax.GradientTransformation,
         def body(carry, idx):
             p, o, k = carry
             k, sub = jax.random.split(k)
-            batch = DeviceDataCache.gather(data, idx)
-            batch["gt_points"] = batch["gt_points"][:, :config.gt_points]
-            (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                p, batch, init_mesh, sub)
-            updates, o = tx.update(grads, o, p)
-            p = optax.apply_updates(p, updates)
-            return (p, o, k), jnp.stack([aux[a] for a in aux_keys])
+            p, o, row = _train_body(p, o, data, idx, init_mesh, sub)
+            return (p, o, k), row
 
         (params, opt_state, key), aux_mat = jax.lax.scan(
             body, (params, opt_state, key), idxs)
@@ -529,6 +558,9 @@ def train_geometrics(config: TrainConfig,
     params = replicate_tree(params, devmesh)
     opt_state = replicate_tree(opt_state, devmesh)
     init_mesh = replicate_tree(init_mesh_host, devmesh)
+    use_ema = config.ema_decay > 0.0
+    # distinct buffers: params and ema are separately donated through the step
+    ema = jax.tree.map(jnp.copy, params) if use_ema else None
 
     feed_keys = ("image", "azimuth", "elevation", "distance", "gt_points",
                  "gt_verts", "gt_faces")
@@ -551,14 +583,29 @@ def train_geometrics(config: TrainConfig,
     with open(os.path.join(config.checkpoint_dir, "config.json"), "w") as fh:
         _json.dump(_dc.asdict(config), fh, indent=2, default=str)
 
-    def _snapshot(params_, opt_state_, step_):
-        return {"params": jax.device_get(params_),
+    def _snapshot(params_, opt_state_, step_, ema_=None):
+        snap = {"params": jax.device_get(params_),
                 "opt_state": jax.device_get(opt_state_), "step": step_}
+        if ema_ is not None:
+            snap["ema"] = jax.device_get(ema_)
+        return snap
 
     start_step = 0
     if config.resume and ckpt.latest_step() is not None:
         try:
-            restored = ckpt.restore(_snapshot(params, opt_state, 0))
+            if use_ema:
+                try:
+                    restored = ckpt.restore(_snapshot(params, opt_state, 0,
+                                                      ema))
+                    ema = replicate_tree(restored["ema"], devmesh)
+                except Exception:
+                    # pre-EMA checkpoint: restore without the ema tree and
+                    # seed the average from the restored params
+                    restored = ckpt.restore(_snapshot(params, opt_state, 0))
+                    ema = replicate_tree(restored["params"], devmesh)
+                    ema = jax.tree.map(jnp.copy, ema)
+            else:
+                restored = ckpt.restore(_snapshot(params, opt_state, 0))
             params = replicate_tree(restored["params"], devmesh)
             opt_state = replicate_tree(restored["opt_state"], devmesh)
             start_step = int(restored["step"])
@@ -628,8 +675,14 @@ def train_geometrics(config: TrainConfig,
         for epoch in range(config.epochs):
             for _ in range(disp_per_epoch):
                 beat("dispatch")
-                params, opt_state, dev_key, aux_mat, cache_arrays = epoch_fn(
-                    params, opt_state, cache_arrays, init_mesh, dev_key)
+                if use_ema:
+                    (params, ema, opt_state, dev_key, aux_mat,
+                     cache_arrays) = epoch_fn(params, ema, opt_state,
+                                              cache_arrays, init_mesh, dev_key)
+                else:
+                    (params, opt_state, dev_key, aux_mat,
+                     cache_arrays) = epoch_fn(params, opt_state, cache_arrays,
+                                              init_mesh, dev_key)
                 step += k_disp
                 d += 1
                 eval_is_current = False
@@ -641,28 +694,30 @@ def train_geometrics(config: TrainConfig,
                     done = True
                     break
             if (epoch + 1) % config.save_every_epochs == 0 or done:
-                ckpt.save(step, _snapshot(params, opt_state, step), wait=True)
+                ckpt.save(step, _snapshot(params, opt_state, step, ema),
+                          wait=True)
             if (epoch + 1) % config.eval_every_epochs == 0 and not done:
                 eval_result = run_eval(
-                    params, os.path.join(config.checkpoint_dir, "samples",
-                                         f"epoch{epoch + 1:04d}"))
+                    ema if use_ema else params,
+                    os.path.join(config.checkpoint_dir, "samples",
+                                 f"epoch{epoch + 1:04d}"))
                 eval_is_current = True
                 logger.log(step, {f"eval_{k}": v for k, v in
                                   eval_result.items()
                                   if not isinstance(v, dict)})
             if done:
                 break
-        ckpt.save(step, _snapshot(params, opt_state, step), wait=True)
+        ckpt.save(step, _snapshot(params, opt_state, step, ema), wait=True)
         if config.eval_every_epochs > 0 and not eval_is_current and step > start_step:
             # final-params eval (a max_steps stop would otherwise return the
             # PREVIOUS eval window's numbers as the run's result)
             eval_result = run_eval(
-                params, os.path.join(config.checkpoint_dir, "samples",
-                                     "final"))
+                ema if use_ema else params,
+                os.path.join(config.checkpoint_dir, "samples", "final"))
             logger.log(step, {f"eval_{k}": v for k, v in eval_result.items()
                               if not isinstance(v, dict)})
         logger.close()
-        return {"params": params, "model": model, "metrics": aux,
+        return {"params": params, "ema": ema, "model": model, "metrics": aux,
                 "eval": eval_result,
                 "checkpoint_dir": config.checkpoint_dir,
                 "init_mesh": init_mesh_host}
@@ -670,6 +725,10 @@ def train_geometrics(config: TrainConfig,
     if use_cache:
         cache_arrays = cache.arrays  # donated through every step (see
         cache.arrays = None          # make_train_step) — rebind each call
+    if use_ema:
+        _d = config.ema_decay
+        ema_update = jax.jit(lambda e, p: jax.tree.map(
+            lambda ev, pv: _d * ev + (1 - _d) * pv, e, p))
     for epoch in range(config.epochs):
         groups = (cache.epoch_indices(config.batch_size, idx_rng)
                   if use_cache else it)
@@ -690,6 +749,8 @@ def train_geometrics(config: TrainConfig,
                 batch = shard_batch(batch, devmesh)
                 params, opt_state, aux = step_fn(params, opt_state, batch,
                                                  init_mesh, sub)
+            if use_ema:
+                ema = ema_update(ema, params)
             if config.profile_dir and step == 10:
                 jax.block_until_ready(aux["total"])
                 jax.profiler.stop_trace()
@@ -700,19 +761,21 @@ def train_geometrics(config: TrainConfig,
                 break
         if (epoch + 1) % config.save_every_epochs == 0 or (
                 max_steps is not None and step >= max_steps):
-            ckpt.save(step, _snapshot(params, opt_state, step), wait=True)
+            ckpt.save(step, _snapshot(params, opt_state, step, ema), wait=True)
         if (epoch + 1) % config.eval_every_epochs == 0:
             eval_result = run_eval(
-                params, os.path.join(config.checkpoint_dir, "samples",
-                                     f"epoch{epoch + 1:04d}"))
+                ema if use_ema else params,
+                os.path.join(config.checkpoint_dir, "samples",
+                             f"epoch{epoch + 1:04d}"))
             logger.log(step, {f"eval_{k}": v for k, v in eval_result.items()
                               if not isinstance(v, dict)})
         if max_steps is not None and step >= max_steps:
             break
-    ckpt.save(step, _snapshot(params, opt_state, step), wait=True)
+    ckpt.save(step, _snapshot(params, opt_state, step, ema), wait=True)
     logger.close()
-    return {"params": params, "model": model, "metrics": jax.device_get(aux),
-            "eval": eval_result, "checkpoint_dir": config.checkpoint_dir,
+    return {"params": params, "ema": ema, "model": model,
+            "metrics": jax.device_get(aux), "eval": eval_result,
+            "checkpoint_dir": config.checkpoint_dir,
             "init_mesh": init_mesh_host}
 
 

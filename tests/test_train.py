@@ -338,3 +338,37 @@ def test_cached_eval_matches_host_fed(tiny_dataset, tmp_path):
         for k in ref["per_class"][cls]:
             assert abs(ref["per_class"][cls][k]
                        - fast["per_class"][cls][k]) < 1e-5, (cls, k)
+
+
+def test_ema_epoch_mode_tracks_and_resumes(tiny_dataset, tmp_path):
+    """EMA (TrainConfig.ema_decay>0): the Polyak average is carried through
+    the epoch scan, snapshotted as an "ema" tree, preferred by eval tooling,
+    and seeded from params when resuming a pre-EMA checkpoint."""
+    from geometrics_tpu.utils.checkpoint import Checkpointer
+
+    # leg 1: pre-EMA run writes a checkpoint without an "ema" tree
+    cfg0 = _tiny_train_config(
+        tmp_path, checkpoint_dir=str(tmp_path / "ema"),
+        batch_size=2, epochs=1, steps_per_call=2, save_every_epochs=1,
+        eval_every_epochs=100, test_fraction=0.5)
+    train_geometrics(cfg0, dataset=tiny_dataset)
+    raw0 = Checkpointer(cfg0.checkpoint_dir).restore_raw()
+    assert "ema" not in raw0
+
+    # leg 2: resume the same dir with EMA on — seeds from restored params
+    cfg = TrainConfig(**{**cfg0.__dict__, "ema_decay": 0.9, "epochs": 2})
+    out = train_geometrics(cfg, dataset=tiny_dataset)
+    assert out["ema"] is not None
+    p = jax.tree.leaves(jax.device_get(out["params"]))
+    e = jax.tree.leaves(jax.device_get(out["ema"]))
+    # the average lags the raw params but stays in the same neighborhood
+    diffs = [float(np.max(np.abs(a - b))) for a, b in zip(p, e)]
+    assert max(diffs) > 0.0
+    assert all(np.isfinite(a).all() for a in e)
+    raw = Checkpointer(cfg.checkpoint_dir).restore_raw()
+    assert "ema" in raw
+
+    # leg 3: resume an EMA checkpoint with EMA still on (full roundtrip)
+    cfg3 = TrainConfig(**{**cfg.__dict__, "epochs": 3})
+    out3 = train_geometrics(cfg3, dataset=tiny_dataset)
+    assert out3["ema"] is not None
