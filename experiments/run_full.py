@@ -28,9 +28,10 @@ import jax
 class RunArgs:
     run_dir: str = "runs/full_r1"
     data_root: str = "data/synthetic_shapenet"
-    preset: str = "full"   # "full" (flagship/bench budget) | "highres"
-                           # (1152-vert budget) | "paperres" (2502 verts,
-                           # the paper's ~2.5k cap)
+    preset: str = "full"   # any train preset: "full" (flagship/bench budget)
+                           # | "highres" (1152-vert budget) | "paperres"
+                           # (2502 verts, the paper's ~2.5k cap) |
+                           # "paperres_xl" (paperres + hidden 256 + EMA)
     epochs: int = 40
     max_steps: int = 0     # stop after this many optimizer steps (0 = none);
                            # lets a resumed run finish an ORIGINAL-length
@@ -66,8 +67,7 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from geometrics_tpu.data.shapenet import PreparedDataset
-    from geometrics_tpu.train.presets import (
-        autoencoder_config, full_config, highres_config, paperres_config)
+    from geometrics_tpu.train.presets import PRESETS, autoencoder_config
 
     train_ds = PreparedDataset(args.data_root, "train")
     test_ds = PreparedDataset(args.data_root, "test")
@@ -100,8 +100,7 @@ def main() -> None:
 
     from geometrics_tpu.train.trainer import train_geometrics
 
-    preset_fn = {"full": full_config, "highres": highres_config,
-                 "paperres": paperres_config}[args.preset]
+    preset_fn = PRESETS[args.preset]
     cfg = dataclasses.replace(
         preset_fn(args.run_dir, encoder_dir or "unused"),
         epochs=args.epochs, eval_every_epochs=args.eval_every,

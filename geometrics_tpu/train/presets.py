@@ -120,6 +120,28 @@ def paperres_config(run_dir: str = "runs/paperres",
         checkpoint_dir=run_dir)
 
 
+def paperres_xl_config(run_dir: str = "runs/paperres_xl",
+                       ae_dir: str = "runs/ae") -> TrainConfig:
+    """paperres + the capacity lever: the round-3 plateau diagnosis
+    (RESULTS.md) found train≈test F1 — the model is accuracy-bound, not
+    data-bound — so the next climb scales capacity (hidden/carried 192→256,
+    CNN widths ×1.5) and turns on EMA eval (ema_decay=0.999 ≈ a ~1-epoch
+    average at 1020 steps/epoch).  Lane-aligned sizes (256 = 2×128); step
+    cost grows ~1.7× over paperres; the remote-worker envelope (batch 16 /
+    k≤20) still applies — probe one epoch before committing a long run."""
+    return TrainConfig(
+        model=ModelConfig(hidden=256, carried_dim=256,
+                          cnn_widths=(48, 96, 192, 384),
+                          splits_per_round=930, split_threshold=0.0,
+                          scan_layers=True, adjacency_mode="dense",
+                          bfloat16=True),
+        mesh=MeshBudget(subdivisions=3, v_max=2560, f_max=5120),
+        batch_size=16, epochs=200, num_classes=13, models_per_class=32,
+        surface_samples=4096, gt_points=4096, ema_decay=0.999,
+        encoder_checkpoint=ae_dir,
+        checkpoint_dir=run_dir)
+
+
 PRESETS = {
     "overfit": overfit_config,
     "fixed_topo": fixed_topology_config,
@@ -128,6 +150,7 @@ PRESETS = {
     "full": full_config,
     "highres": highres_config,
     "paperres": paperres_config,
+    "paperres_xl": paperres_xl_config,
 }
 
 
