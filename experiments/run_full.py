@@ -53,6 +53,8 @@ class RunArgs:
     lap_w: float = 0.1
     move_w: float = 0.1
     log_every: int = 100
+    ema_decay: float = -1.0  # <0 = keep the preset's value; >=0 overrides
+                             # (0 disables, e.g. 0.999 ≈ 1-epoch average)
     reuse_ae: str = ""   # existing AE run dir → skip AE pretraining
     cpu: bool = False
 
@@ -112,6 +114,8 @@ def main() -> None:
         encoder_checkpoint=encoder_dir)
     if args.batch_size:
         cfg = dataclasses.replace(cfg, batch_size=args.batch_size)
+    if args.ema_decay >= 0.0:
+        cfg = dataclasses.replace(cfg, ema_decay=args.ema_decay)
     cfg = dataclasses.replace(cfg, loss=dataclasses.replace(
         cfg.loss, edge=args.edge_w, laplacian=args.lap_w,
         laplacian_move=args.move_w,
