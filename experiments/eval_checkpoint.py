@@ -34,6 +34,8 @@ class EvalArgs:
     cached: bool = False   # device-cached eval (one upload + scanned batches:
                            # seconds instead of one relay round trip per
                            # batch; protocol-identical, no qualitative dumps)
+    best: bool = False     # score <run_dir>/best (the best-eval retention
+                           # snapshot) instead of the latest step
     cpu: bool = False
 
 
@@ -58,10 +60,15 @@ def main() -> None:
         config = config_from_json(json.load(fh))
     model = build_model(config)
 
-    ckpt = Checkpointer(args.run_dir)
+    ckpt = Checkpointer(os.path.join(args.run_dir, "best") if args.best
+                        else args.run_dir)
     step = ckpt.latest_step()
-    params = ckpt.restore_raw(step)["params"]
-    print(f"[eval] restored step {step} from {args.run_dir}", flush=True)
+    raw = ckpt.restore_raw(step)
+    # EMA runs score their Polyak average (the tree evals/ckpts are built on)
+    params = raw.get("ema") or raw["params"]
+    which = "ema" if "ema" in raw else "params"
+    print(f"[eval] restored step {step} ({which}) from {ckpt.directory}",
+          flush=True)
 
     ds = PreparedDataset(args.data_root, args.split)
     indices = np.arange(len(ds))

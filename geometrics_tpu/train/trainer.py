@@ -638,24 +638,49 @@ def train_geometrics(config: TrainConfig,
                               getattr(eval_dataset, "diameter", 1.0)))
     eval_cache_holder = [None]  # reused device-resident eval split
 
+    # best-checkpoint retention: anneal endgames can wobble (hr3 epoch 30→40
+    # dipped 0.173→0.165 while train loss fell), so the best-eval params are
+    # snapshotted under <run>/best alongside the rolling latest-step
+    # checkpoints.  The watermark persists in best/best.json across resumes.
+    best_dir = os.path.join(config.checkpoint_dir, "best")
+    best_f1 = -1.0
+    try:
+        with open(os.path.join(best_dir, "best.json")) as fh:
+            best_f1 = float(_json.load(fh)["mean_f1_tau"])
+    except (OSError, ValueError, KeyError):
+        pass
+    best_ckpt: Optional[Checkpointer] = None
+
     def run_eval(params_, dump_dir):
         """In-run eval: cached scan for the metrics (seconds), one host-fed
         batch for the qualitative grids/.obj dumps."""
+        nonlocal best_f1, best_ckpt
         if not config.cached_eval:
-            return evaluate(params_, model, config, eval_dataset, test_idx,
-                            eval_config=eval_cfg, mesh_devices=devmesh,
-                            dump_meshes_to=dump_dir)
-        res = evaluate_cached(params_, model, config, eval_dataset, test_idx,
-                              eval_config=eval_cfg, mesh_devices=devmesh,
-                              cache_holder=eval_cache_holder)
-        if dump_dir is not None and len(test_idx) >= eval_cfg.batch_size:
-            try:
-                evaluate(params_, model, config, eval_dataset,
-                         np.asarray(test_idx)[:eval_cfg.batch_size],
-                         eval_config=eval_cfg, mesh_devices=devmesh,
-                         dump_meshes_to=dump_dir)
-            except Exception as e:  # figures are best-effort, never fatal
-                print(f"[trainer] dump batch skipped: {e}", flush=True)
+            res = evaluate(params_, model, config, eval_dataset, test_idx,
+                           eval_config=eval_cfg, mesh_devices=devmesh,
+                           dump_meshes_to=dump_dir)
+        else:
+            res = evaluate_cached(params_, model, config, eval_dataset,
+                                  test_idx, eval_config=eval_cfg,
+                                  mesh_devices=devmesh,
+                                  cache_holder=eval_cache_holder)
+            if dump_dir is not None and len(test_idx) >= eval_cfg.batch_size:
+                try:
+                    evaluate(params_, model, config, eval_dataset,
+                             np.asarray(test_idx)[:eval_cfg.batch_size],
+                             eval_config=eval_cfg, mesh_devices=devmesh,
+                             dump_meshes_to=dump_dir)
+                except Exception as e:  # figures are best-effort, never fatal
+                    print(f"[trainer] dump batch skipped: {e}", flush=True)
+        if res and res.get("mean_f1_tau", -1.0) > best_f1:
+            best_f1 = res["mean_f1_tau"]
+            if best_ckpt is None:
+                best_ckpt = Checkpointer(best_dir, max_to_keep=1)
+            best_ckpt.save(step, {"params": jax.device_get(params_),
+                                  "step": step}, wait=True)
+            with open(os.path.join(best_dir, "best.json"), "w") as fh:
+                _json.dump({"step": step, "mean_f1_tau": best_f1,
+                            "mean_chamfer": res.get("mean_chamfer")}, fh)
         return res
 
     if epoch_mode:
