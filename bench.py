@@ -1,23 +1,34 @@
 """Round benchmark: flagship train-step throughput in meshes/sec/chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 ``vs_baseline`` is measured against the reference-equivalent torch-CPU
 implementation (benchmarks/torch_baseline.py) — the reference publishes no
 throughput numbers (BASELINE.md), so the baseline is measured in-process on
 this machine, per SURVEY.md §6.
 
-Runs on whatever the default JAX backend is (the tunneled TPU chip under the
-driver; CPU works for local smoke via --cpu).
+Resilience (round-3 verdict #3): the relay chip claim can fail transiently
+(BENCH_r03 died at backend init), and JAX caches a failed backend for the
+life of the process — so the measurement runs in a CHILD process and the
+parent retries with backoff on failure.  On final failure the parent still
+prints a parseable JSON line with ``value: null`` and an ``error`` field.
+
+MFU (round-3 verdict #4): the jitted step's compiled ``cost_analysis()``
+FLOPs divided by measured step time and the v5e-1 bf16 peak (197 TFLOP/s);
+an XLA-estimated utilization lens alongside meshes/sec.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+_V5E_BF16_PEAK = 197e12  # TPU v5e per-chip bf16 peak FLOP/s
 
 
 def _enable_compile_cache() -> None:
@@ -33,9 +44,21 @@ def _enable_compile_cache() -> None:
         pass
 
 
+def _step_flops(step_fn, *args) -> float:
+    """XLA-estimated FLOPs of one compiled train-step dispatch (0.0 if the
+    backend doesn't expose a cost analysis)."""
+    try:
+        cost = step_fn.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):  # older jax: one dict per module
+            cost = cost[0] if cost else {}
+        return float(cost.get("flops", 0.0) or 0.0)
+    except Exception:
+        return 0.0
+
+
 def bench_jax(batch_size: int, steps: int, warmup: int, splits: int,
-              surface_samples: int, windows: int = 3) -> list:
-    """Measured window rates (meshes/sec), one per window.
+              surface_samples: int, windows: int = 3) -> tuple:
+    """(window rates [meshes/sec], flops per step) — one rate per window.
 
     The TPU pool is SHARED and identical programs can vary several-fold in
     wall time between moments (CLAUDE.md); a single window is hostage to the
@@ -48,13 +71,14 @@ def bench_jax(batch_size: int, steps: int, warmup: int, splits: int,
     _enable_compile_cache()
 
     from geometrics_tpu.models import Camera
+    from geometrics_tpu.ops import is_tpu
     from geometrics_tpu.parallel import make_mesh_for_batch, replicate_tree, shard_batch
     from geometrics_tpu.train import (
         MeshBudget, ModelConfig, TrainConfig, build_init_mesh, build_model,
         make_train_step,
     )
 
-    on_tpu = jax.default_backend() in ("tpu", "axon")
+    on_tpu = is_tpu()
     config = TrainConfig(
         model=ModelConfig(splits_per_round=splits, split_threshold=0.0,
                           bfloat16=on_tpu, scan_layers=True,
@@ -96,6 +120,9 @@ def bench_jax(batch_size: int, steps: int, warmup: int, splits: int,
     step_fn = make_train_step(model, tx, config)
 
     key = jax.random.PRNGKey(1)
+    key, flop_key = jax.random.split(key)
+    flops = _step_flops(step_fn, params, opt_state, sharded, init_mesh,
+                        flop_key)
     for i in range(warmup):
         key, sub = jax.random.split(key)
         params, opt_state, aux = step_fn(params, opt_state, sharded,
@@ -113,10 +140,10 @@ def bench_jax(batch_size: int, steps: int, warmup: int, splits: int,
         dt = time.perf_counter() - t0
         rates.append(batch_size * steps / dt)
     assert np.isfinite(float(jax.device_get(aux["total"])))
-    return rates
+    return rates, flops
 
 
-def main() -> None:
+def _build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser()
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--steps", type=int, default=20)
@@ -129,29 +156,48 @@ def main() -> None:
     p.add_argument("--baseline_batch", type=int, default=2)
     p.add_argument("--cpu", action="store_true", help="force CPU (local smoke)")
     p.add_argument("--skip_baseline", action="store_true")
-    args = p.parse_args()
+    p.add_argument("--attempts", type=int, default=3,
+                   help="child-process attempts before giving up")
+    p.add_argument("--retry_wait", type=float, default=150.0,
+                   help="seconds between attempts (relay/pool backoff)")
+    p.add_argument("--attempt_timeout", type=float, default=1200.0,
+                   help="per-attempt wall-clock cap (chip claim ~2 min + "
+                        "cold compiles can take minutes)")
+    p.add_argument("--_inner", action="store_true", help=argparse.SUPPRESS)
+    return p
 
+
+def _inner(args) -> None:
+    """One measurement attempt — runs in a child so a wedged/cached-failed
+    backend dies with the process instead of poisoning retries."""
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
 
-    rates = bench_jax(args.batch_size, args.steps, args.warmup, args.splits,
-                      args.surface_samples, windows=args.windows)
+    rates, flops = bench_jax(args.batch_size, args.steps, args.warmup,
+                             args.splits, args.surface_samples,
+                             windows=args.windows)
     mps = float(np.median(rates))
+    step_time = args.batch_size / mps  # median seconds per step
+    mfu = (flops / step_time / _V5E_BF16_PEAK) if flops else None
 
     if args.skip_baseline:
         base = float("nan")
         base_rates = []
     else:
-        sys.path.insert(0, "benchmarks")
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "benchmarks"))
         from torch_baseline import run_baseline
 
         # same median-of-windows treatment for the denominator: the 1-core
-        # host is shared too, and the headline ratio divides by this number
+        # host is shared too, and the headline ratio divides by this number.
+        # warmup=1 for EVERY window — run_baseline rebuilds the model per
+        # call, so warmup=0 would put cold-start inside the timed window and
+        # bias the baseline slow (ADVICE r3).
         base_rates = [
             run_baseline(batch_size=args.baseline_batch,
-                         steps=args.baseline_steps, warmup=1 if w == 0 else 0,
+                         steps=args.baseline_steps, warmup=1,
                          n_points=args.surface_samples,
                          splits_per_round=args.splits)
             for w in range(args.baseline_windows)]
@@ -165,6 +211,50 @@ def main() -> None:
         "windows": [round(r, 3) for r in rates],
         "spread": {"min": round(min(rates), 3), "max": round(max(rates), 3)},
         "baseline_windows": [round(r, 3) for r in base_rates],
+        "step_flops": flops or None,
+        "mfu": round(mfu, 5) if mfu is not None else None,
+    }))
+
+
+def main() -> None:
+    args = _build_parser().parse_args()
+    if args._inner:
+        _inner(args)
+        return
+
+    child_cmd = [sys.executable, os.path.abspath(__file__), "--_inner"]
+    child_cmd += sys.argv[1:]
+    last_err = ""
+    for attempt in range(1, args.attempts + 1):
+        try:
+            r = subprocess.run(child_cmd, capture_output=True, text=True,
+                               timeout=args.attempt_timeout)
+            out_lines = [l for l in (r.stdout or "").splitlines()
+                         if l.startswith("{")]
+            if r.returncode == 0 and out_lines:
+                payload = json.loads(out_lines[-1])  # validates
+                print(json.dumps(payload))
+                return
+            last_err = ((r.stderr or "").strip().splitlines() or ["rc=%d"
+                        % r.returncode])[-1]
+        except subprocess.TimeoutExpired:
+            last_err = f"attempt timed out after {args.attempt_timeout:.0f}s"
+        except Exception as e:  # json parse, spawn failure
+            last_err = repr(e)
+        print(f"# bench attempt {attempt}/{args.attempts} failed: "
+              f"{last_err}", file=sys.stderr)
+        if attempt < args.attempts:
+            time.sleep(args.retry_wait)
+
+    # Final failure: STILL print a parseable line so the driver records
+    # the failure mode instead of rc=1/parsed=null (BENCH_r03 post-mortem).
+    print(json.dumps({
+        "metric": "train_meshes_per_sec_per_chip",
+        "value": None,
+        "unit": "meshes/sec/chip",
+        "vs_baseline": None,
+        "error": last_err[:500],
+        "attempts": args.attempts,
     }))
 
 

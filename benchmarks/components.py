@@ -66,7 +66,9 @@ def main() -> None:
         make_train_step,
     )
 
-    on_tpu = jax.default_backend() in ("tpu", "axon")
+    from geometrics_tpu.ops import is_tpu
+
+    on_tpu = is_tpu()
     config = TrainConfig(
         model=ModelConfig(splits_per_round=48, split_threshold=0.0,
                           bfloat16=on_tpu, scan_layers=True,

@@ -31,9 +31,12 @@ class EvalArgs:
     max_samples: int = 0   # 0 = the whole split; >0 = a uniform subset (e.g.
                            # train-split F1 for generalization-gap diagnosis)
     out_json: str = ""     # also write the eval dict here when set
-    cached: bool = False   # device-cached eval (one upload + scanned batches:
+    cached: bool = True    # device-cached eval (one upload + scanned batches:
                            # seconds instead of one relay round trip per
-                           # batch; protocol-identical, no qualitative dumps)
+                           # batch; protocol-identical, no qualitative dumps).
+                           # --cached false for the host-fed path with
+                           # .obj dump batches (costs ~1 round trip/batch
+                           # through the relay — minutes, not seconds)
     best: bool = False     # score <run_dir>/best (the best-eval retention
                            # snapshot) instead of the latest step
     cpu: bool = False

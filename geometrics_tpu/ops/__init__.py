@@ -14,6 +14,7 @@ import jax
 
 from ..core.chamfer import chamfer_distance as _chamfer_lax
 from ..core.chamfer import nearest_sqdists as _nearest_lax
+from ._backend import is_tpu
 from .chamfer_pallas import (
     chamfer_distance_fused,
     nearest_neighbor_pallas,
@@ -28,7 +29,9 @@ from .spmm_pallas import (
 
 
 def _on_tpu() -> bool:
-    return jax.default_backend() == "tpu"
+    # Round-3 verdict fix: the relay platform is "axon", so this MUST NOT
+    # string-compare for "tpu" — is_tpu() probes the device kind.
+    return is_tpu()
 
 
 def chamfer(x, y, x_mask=None, y_mask=None):
@@ -48,6 +51,7 @@ def nearest_sqdists(x, y, x_mask=None, y_mask=None):
 __all__ = [
     "adjacency_counts_dense",
     "chamfer",
+    "is_tpu",
     "chamfer_distance_fused",
     "nearest_neighbor_pallas",
     "nearest_sqdists",

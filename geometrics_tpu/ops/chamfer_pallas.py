@@ -78,7 +78,9 @@ def nearest_neighbor_pallas(
     ``interpret`` defaults to True off-TPU so tests can run the kernel on CPU.
     """
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        from ._backend import is_tpu
+
+        interpret = not is_tpu()
     n, m = x.shape[0], y.shape[0]
     if y_mask is None:
         y_mask = jnp.ones((m,), jnp.float32)

@@ -62,7 +62,9 @@ def _spmm_call(adj_counts: jax.Array, feats: jax.Array, *, normalize: bool,
                interpret: Optional[bool] = None) -> jax.Array:
     """Raw kernel launch (unbatched, not differentiable): [V,V],[V,D]→[V,D]."""
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        from ._backend import is_tpu
+
+        interpret = not is_tpu()
     v, d = feats.shape
     pad_v = (-v) % _TV
     pad_d = (-d) % _TD

@@ -91,13 +91,16 @@ def train_autoencoder(config: AutoEncoderConfig,
             seed=config.seed, render=False, voxels=True))
     if hasattr(dataset, "config"):
         train_idx, test_idx = train_test_split(dataset)
-    else:  # a PreparedDataset split: carve a held-out tail for the AE eval
+    else:  # a PreparedDataset split: carve a held-out slice for the AE eval
         # (the on-disk "test" split may lack voxels; a within-split holdout
         # still measures encoder generalization, which is what the frozen
-        # latent loss depends on)
+        # latent loss depends on).  STRIDED, not a tail: prep.py writes
+        # split lists class-ordered, so a contiguous tail would be ~one
+        # whole class never seen in training (ADVICE r3) — every 10th index
+        # keeps the holdout class-balanced.
         all_idx = np.arange(len(dataset))
-        n_hold = max(1, len(all_idx) // 10)
-        train_idx, test_idx = all_idx[:-n_hold], all_idx[-n_hold:]
+        test_idx = all_idx[::10]
+        train_idx = np.setdiff1d(all_idx, test_idx)
 
     model = MeshVoxelAE(
         latent_dim=config.latent_dim, encoder_hidden=config.encoder_hidden,

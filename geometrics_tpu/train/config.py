@@ -10,6 +10,7 @@ loss weights, latent dim, split budget/threshold), typed and centralized.
 from __future__ import annotations
 
 import dataclasses
+import os
 from dataclasses import dataclass, field
 from typing import Optional, Tuple
 
@@ -133,19 +134,74 @@ class TrainConfig:
 # (v_max=1152): steps_per_call=50 (batch 16) and batch=32 (any k).  Known
 # good: batch 16 / k=20 at highres; batch 32 / k≈60 at the flagship budget
 # (v_max=384).  Larger budgets (paperres v_max=2560) were probed in round 3 at
-# batch 16 / k=20.  The rule below encodes those measurements.
+# batch 16 / k=20.  The rules below encode those measurements.
 _ENVELOPE_VMAX_SMALL = 1024     # budgets below this have never crashed
 _ENVELOPE_MAX_BATCH = 16        # at v_max >= _ENVELOPE_VMAX_SMALL
 _ENVELOPE_MAX_K = 20            # at v_max >= _ENVELOPE_VMAX_SMALL
+_ENVELOPE_UNPROVEN_K = 10       # cap until a probe proves a bigger program
+
+# Probes that SURVIVED the worker, as (v_max*hidden) program-size scores —
+# v_max sets the dominant live buffers (dense V×V adjacency, V×hidden
+# activations through depth) and hidden scales every matmul, so their
+# product tracks the observed kill boundary better than v_max alone
+# (round-3 verdict: paperres_xl is ~1.7x the paperres program at the SAME
+# v_max, and the old v_max-only rule couldn't tell them apart).
+_PROVEN_PROBES = (
+    ("flagship", 384 * 192, 32, 60),    # rounds 1-2, full runs
+    ("highres", 1152 * 192, 16, 20),    # round 2, full run
+    ("paperres", 2560 * 192, 16, 20),   # round 3, 130-epoch run
+)
+_PROBE_FILE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".envelope_probes.json")
+
+
+def _proven_probes() -> list:
+    """Code table + any probes recorded at runtime (repo/.envelope_probes.json)."""
+    probes = list(_PROVEN_PROBES)
+    try:
+        import json
+
+        with open(_PROBE_FILE) as fh:
+            for p in json.load(fh):
+                probes.append((p["name"], int(p["score"]), int(p["batch"]),
+                               int(p["steps_per_call"])))
+    except (OSError, ValueError, KeyError):
+        pass
+    return probes
+
+
+def record_probe(config: "TrainConfig", name: str = "probe") -> None:
+    """Append a SURVIVING config to the probe table the validator reads.
+
+    Call after a deliberate ``ignore_envelope`` probe completes without
+    killing the worker (experiments/probe_envelope.py does this)."""
+    import json
+
+    entry = {"name": name, "score": config.mesh.v_max * config.model.hidden,
+             "batch": config.batch_size,
+             "steps_per_call": config.steps_per_call}
+    try:
+        with open(_PROBE_FILE) as fh:
+            table = json.load(fh)
+    except (OSError, ValueError):
+        table = []
+    table.append(entry)
+    with open(_PROBE_FILE, "w") as fh:
+        json.dump(table, fh, indent=2)
 
 
 def validate_envelope(config: "TrainConfig", backend: str) -> "TrainConfig":
     """Clamp configs known to kill the remote TPU worker (warn + cap).
 
     Round 2 lost a full night's quality run to configurations outside the
-    proven envelope; this makes the trainer refuse them by default.  Set
-    ``ignore_envelope=True`` to probe beyond it deliberately.  No-op off TPU
-    (the CPU path has no remote worker to kill).
+    proven envelope; this makes the trainer refuse them by default.  Two
+    rules: (1) at v_max >= 1024, batch/steps_per_call are capped at the
+    proven 16/20; (2) a program-size score (v_max*hidden) larger than every
+    surviving probe additionally caps steps_per_call at 10 until a probe
+    proves it (record via ``record_probe``).  Set ``ignore_envelope=True``
+    to probe beyond the envelope deliberately.  No-op off TPU (the CPU path
+    has no remote worker to kill).
     """
     if backend not in ("tpu", "axon") or config.ignore_envelope:
         return config
@@ -156,15 +212,32 @@ def validate_envelope(config: "TrainConfig", backend: str) -> "TrainConfig":
         changes["batch_size"] = _ENVELOPE_MAX_BATCH
     if config.steps_per_call > _ENVELOPE_MAX_K:
         changes["steps_per_call"] = _ENVELOPE_MAX_K
+    score = config.mesh.v_max * config.model.hidden
+    max_proven = max(p[1] for p in _proven_probes())
+    if score > max_proven:
+        k_now = changes.get("steps_per_call", config.steps_per_call)
+        if k_now > _ENVELOPE_UNPROVEN_K:
+            changes["steps_per_call"] = _ENVELOPE_UNPROVEN_K
+        changes.setdefault("_unproven", None)  # sentinel for the warning
     if changes:
         import warnings
 
-        warnings.warn(
-            f"config exceeds the proven remote-worker envelope at "
-            f"v_max={config.mesh.v_max} (batch<={_ENVELOPE_MAX_BATCH}, "
-            f"steps_per_call<={_ENVELOPE_MAX_K}); clamping {changes} — "
-            f"pass ignore_envelope=true to override", stacklevel=2)
-        config = dataclasses.replace(config, **changes)
+        unproven = "_unproven" in changes
+        changes.pop("_unproven", None)
+        msg = (f"config exceeds the proven remote-worker envelope at "
+               f"v_max={config.mesh.v_max} (batch<={_ENVELOPE_MAX_BATCH}, "
+               f"steps_per_call<={_ENVELOPE_MAX_K})")
+        if unproven:
+            msg += (f"; program-size score {score} > largest surviving "
+                    f"probe {max_proven} — capping steps_per_call at "
+                    f"{_ENVELOPE_UNPROVEN_K} until a 1-epoch probe survives "
+                    f"(then record_probe it)")
+        if changes:
+            msg += f"; clamping {changes}"
+        warnings.warn(msg + " — pass ignore_envelope=true to override",
+                      stacklevel=2)
+        if changes:
+            config = dataclasses.replace(config, **changes)
     return config
 
 

@@ -416,6 +416,13 @@ def evaluate_cached(params, model, config: TrainConfig, dataset, indices,
     same aggregation.  Equivalence is pinned by
     tests/test_train.py::test_cached_eval_matches_host_fed.
 
+    One caveat (ADVICE r3): the device cache packs images uint8, so a
+    FLOAT-image source (SyntheticShapeDataset) is rounded to 1/255 steps
+    here while host-fed ``evaluate`` sees the raw floats — a ≤0.2%-of-range
+    input perturbation.  For prepared trees (uint8 on disk: every
+    production run) the packing is exactly lossless and the two paths are
+    bit-identical in inputs.
+
     No qualitative dumps here — use ``evaluate(dump_meshes_to=...)`` (one
     batch) when grids/.obj samples are wanted.
 
@@ -593,19 +600,20 @@ def train_geometrics(config: TrainConfig,
     start_step = 0
     if config.resume and ckpt.latest_step() is not None:
         try:
+            # Probe the snapshot's actual structure first so the restore
+            # template always matches: an EMA-trained run resumed with
+            # ema_decay=0 (or vice versa) must NOT fall through to the
+            # silent fresh-start path and discard the run (ADVICE r3).
+            raw = ckpt.restore_raw()
+            has_ema = isinstance(raw, dict) and "ema" in raw
+            restored = ckpt.restore(_snapshot(params, opt_state, 0,
+                                              params if has_ema else None))
             if use_ema:
-                try:
-                    restored = ckpt.restore(_snapshot(params, opt_state, 0,
-                                                      ema))
-                    ema = replicate_tree(restored["ema"], devmesh)
-                except Exception:
-                    # pre-EMA checkpoint: restore without the ema tree and
-                    # seed the average from the restored params
-                    restored = ckpt.restore(_snapshot(params, opt_state, 0))
-                    ema = replicate_tree(restored["params"], devmesh)
-                    ema = jax.tree.map(jnp.copy, ema)
-            else:
-                restored = ckpt.restore(_snapshot(params, opt_state, 0))
+                # pre-EMA checkpoint: seed the average from the params;
+                # surplus ema tree with use_ema=False is simply dropped.
+                ema_src = restored["ema"] if has_ema else restored["params"]
+                ema = jax.tree.map(jnp.copy,
+                                   replicate_tree(ema_src, devmesh))
             params = replicate_tree(restored["params"], devmesh)
             opt_state = replicate_tree(restored["opt_state"], devmesh)
             start_step = int(restored["step"])

@@ -1,7 +1,10 @@
 """Pallas fused Chamfer vs lax oracle (SURVEY.md §4.2 kernel-equivalence).
 
-Runs the kernel in interpreter mode on CPU; the same code path compiles on
-TPU (bench.py exercises that)."""
+Runs the kernel in interpreter mode on CPU.  On real hardware the dispatch
+and compiled/interpret decision come from ops._backend.is_tpu(), which is
+pinned by the backend-detection tests below (round-3 verdict: the relay's
+platform name is "axon", not "tpu", so the old string compares left the
+kernels undispatched on chip)."""
 
 import numpy as np
 import jax
@@ -64,6 +67,67 @@ def test_fused_chamfer_grad_matches_lax(pts):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gy_f), np.asarray(gy_l),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_is_tpu_accepts_axon_platform(monkeypatch):
+    """Round-3 verdict pin: on the relay jax.default_backend() is "axon" and
+    the device kind is opaque — the fused path must still be chosen."""
+    import geometrics_tpu.ops as ops
+    from geometrics_tpu.ops import _backend
+
+    monkeypatch.setattr(_backend.jax, "default_backend", lambda: "axon")
+    monkeypatch.setattr(_backend.jax, "devices",
+                        lambda *a, **k: (_ for _ in ()).throw(RuntimeError()))
+    assert _backend.is_tpu() is True
+    assert ops._on_tpu() is True
+
+
+def test_is_tpu_via_device_kind(monkeypatch):
+    """Even with an unknown platform name, a TPU device kind wins."""
+    from geometrics_tpu.ops import _backend
+
+    class _Dev:
+        device_kind = "TPU v5 lite"
+
+    monkeypatch.setattr(_backend.jax, "default_backend", lambda: "weird")
+    monkeypatch.setattr(_backend.jax, "devices", lambda *a, **k: [_Dev()])
+    assert _backend.is_tpu() is True
+
+
+def test_is_tpu_false_on_cpu():
+    from geometrics_tpu.ops import _backend
+
+    assert _backend.is_tpu() is False  # test env pins CPU (conftest)
+
+
+def test_interpret_default_follows_is_tpu(monkeypatch):
+    """interpret=None must resolve via is_tpu(), not a 'tpu' string compare:
+    on the axon relay the kernel must COMPILE (interpret=False).  We assert
+    the resolution without launching (a compiled pallas_call can't run on
+    CPU) by capturing what pallas_call receives."""
+    from geometrics_tpu.ops import _backend, chamfer_pallas
+
+    monkeypatch.setattr(_backend.jax, "default_backend", lambda: "axon")
+    monkeypatch.setattr(_backend.jax, "devices",
+                        lambda *a, **k: (_ for _ in ()).throw(RuntimeError()))
+    seen = {}
+
+    def fake_pallas_call(*a, interpret=None, **k):
+        seen["interpret"] = interpret
+
+        def run(*operands):
+            raise _Stop()
+
+        return run
+
+    class _Stop(Exception):
+        pass
+
+    monkeypatch.setattr(chamfer_pallas.pl, "pallas_call", fake_pallas_call)
+    x = jnp.zeros((8, 3))
+    with pytest.raises(_Stop):
+        nearest_neighbor_pallas(x, x)
+    assert seen["interpret"] is False
 
 
 def test_fused_chamfer_batched_unmasked():

@@ -285,6 +285,39 @@ def test_validate_envelope_clamps_on_tpu_only():
     assert validate_envelope(small, "axon") is small
 
 
+def test_validate_envelope_program_size(tmp_path, monkeypatch):
+    """A program bigger than every surviving probe (paperres_xl: same v_max,
+    wider hidden) gets steps_per_call capped at 10 until record_probe proves
+    it (VERDICT r3 #5 — the old v_max-only rule passed xl untested)."""
+    import dataclasses
+    import warnings
+
+    from geometrics_tpu.train import config as cfgmod
+    from geometrics_tpu.train.config import (
+        MeshBudget, ModelConfig, TrainConfig, record_probe, validate_envelope)
+
+    monkeypatch.setattr(cfgmod, "_PROBE_FILE",
+                        str(tmp_path / "probes.json"))
+    xl = TrainConfig(model=ModelConfig(hidden=256, carried_dim=256),
+                     mesh=MeshBudget(v_max=2560, f_max=6144),
+                     batch_size=16, steps_per_call=20)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        capped = validate_envelope(xl, "axon")
+    assert capped.steps_per_call == 10
+    assert any("probe" in str(x.message) for x in w)
+    # paperres itself (hidden 192) is a surviving probe: untouched
+    pp_cfg = dataclasses.replace(
+        xl, model=dataclasses.replace(xl.model, hidden=192, carried_dim=192))
+    assert validate_envelope(pp_cfg, "axon") is pp_cfg
+    # a recorded surviving probe at the xl score lifts the cap
+    record_probe(dataclasses.replace(xl, ignore_envelope=True),
+                 name="paperres_xl")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        assert validate_envelope(xl, "axon").steps_per_call == 20
+
+
 def test_cached_eval_matches_host_fed(tiny_dataset, tmp_path):
     """evaluate_cached must reproduce evaluate() exactly: same per-batch
     math, same PRNG chain, same remainder coverage, same aggregation.
