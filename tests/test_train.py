@@ -405,3 +405,13 @@ def test_ema_epoch_mode_tracks_and_resumes(tiny_dataset, tmp_path):
     cfg3 = TrainConfig(**{**cfg.__dict__, "epochs": 3})
     out3 = train_geometrics(cfg3, dataset=tiny_dataset)
     assert out3["ema"] is not None
+
+    # leg 4 (ADVICE r3): resume the EMA-trained dir with ema_decay=0 — the
+    # surplus "ema" tree must be tolerated (dropped), NOT fall through to a
+    # silent fresh start that discards the run's progress
+    step_before = Checkpointer(cfg3.checkpoint_dir).latest_step()
+    cfg4 = TrainConfig(**{**cfg3.__dict__, "ema_decay": 0.0, "epochs": 4})
+    out4 = train_geometrics(cfg4, dataset=tiny_dataset)
+    assert out4["ema"] is None
+    # progress preserved: the new latest step strictly advances leg 3's
+    assert Checkpointer(cfg4.checkpoint_dir).latest_step() > step_before
