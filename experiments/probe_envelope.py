@@ -36,6 +36,11 @@ class ProbeArgs:
                                 # catch the scan-length kills seen in round 2
     steps_per_call: int = 20
     batch_size: int = 0         # 0 = preset's
+    adjacency: str = ""         # override model.adjacency_mode ("dense" |
+                                # "pallas") — per-op timings through the relay
+                                # ride a multi-ms dispatch floor, so the fair
+                                # aggregation shoot-out is THIS probe's
+                                # sec_per_step with each mode (round 4)
     name: str = ""              # probe-table label (default: the preset name)
     cpu: bool = False
 
@@ -65,6 +70,9 @@ def main() -> None:
         cfg.loss, latent=0.0))
     if args.batch_size:
         cfg = dataclasses.replace(cfg, batch_size=args.batch_size)
+    if args.adjacency:
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, adjacency_mode=args.adjacency))
 
     t0 = time.time()
     result = train_geometrics(cfg, dataset=train_ds, test_dataset=test_ds,
