@@ -37,6 +37,12 @@ class PlotArgs:
     out: str = "runs/hr4/trajectory.png"
     marks: str = ""   # "step=label,step=label" vertical regime boundaries
     title: str = "Single-image mesh reconstruction, 13-class test F1"
+    # compare mode: OVERLAY runs as separate F1@τ series on a per-run epoch
+    # axis instead of merging them onto one global step axis.  Spec per run:
+    # "dir=label@step_offset/steps_per_epoch" (offset subtracts a warm-start
+    # prefix so epoch 0 = first step at the budget being compared), e.g.
+    # --compare "runs/hr4=hidden 192 (warm)@40800/1014,runs/xl1=hidden 256@0/1020"
+    compare: str = ""
 
 
 def load_points(run_dirs):
@@ -54,17 +60,7 @@ def load_points(run_dirs):
     return sorted(pts.items())
 
 
-def main() -> None:
-    from geometrics_tpu.utils.cli import parse_into
-
-    args = parse_into(PlotArgs())
-    points = load_points(args.runs.split(","))
-    if not points:
-        raise SystemExit("no eval points found")
-    steps = [s / 1000 for s, _ in points]
-    f1t = [v[0] for _, v in points]
-    f12t = [v[1] for _, v in points]
-
+def _styled_axes(title):
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -78,6 +74,60 @@ def main() -> None:
     ax.grid(axis="y", color=GRID, linewidth=0.8)
     ax.set_axisbelow(True)
     ax.tick_params(colors=MUTED, labelsize=8, length=0)
+    ax.set_title(title, color=INK, fontsize=10, loc="left", pad=16)
+    return fig, ax
+
+
+def compare_runs(args) -> None:
+    """Overlay each run's F1@τ as its own series vs per-run epoch (the
+    capacity-ablation figure: does the wider model's curve sit above the
+    narrower one at matched epochs at the same vertex budget?)."""
+    series = []
+    for spec in args.compare.split(","):
+        rd, rest = spec.split("=", 1)
+        label, tail = rest.split("@", 1)
+        off, spe = (int(x) for x in tail.split("/", 1))
+        pts = [((s - off) / spe, f1t) for s, (f1t, _) in load_points([rd])
+               if s >= off]
+        if pts:
+            series.append((label, pts))
+    if not series:
+        raise SystemExit("no eval points found for compare specs")
+
+    fig, ax = _styled_axes(args.title)
+    ymax = 0.0
+    for (label, pts), color in zip(series, SERIES):
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        ymax = max(ymax, max(ys))
+        ax.plot(xs, ys, color=color, linewidth=2, marker="o",
+                markersize=4.5, label=label)
+        ax.annotate(f"{ys[-1]:.3f}", (xs[-1], ys[-1]), xytext=(6, -3),
+                    textcoords="offset points", color=INK_2ND, fontsize=8)
+    ax.set_xlabel("epochs at the 2502-vert budget", color=INK_2ND, fontsize=9)
+    ax.set_ylabel("mean test F1@τ", color=INK_2ND, fontsize=9)
+    ax.set_ylim(0, ymax * 1.25)
+    ax.legend(loc="upper left", frameon=False, fontsize=8, labelcolor=INK_2ND)
+    fig.tight_layout()
+    fig.savefig(args.out, facecolor=SURFACE)
+    print(f"[plot] compare {len(series)} runs -> {args.out}")
+
+
+def main() -> None:
+    from geometrics_tpu.utils.cli import parse_into
+
+    args = parse_into(PlotArgs())
+    if args.compare:
+        compare_runs(args)
+        return
+    points = load_points(args.runs.split(","))
+    if not points:
+        raise SystemExit("no eval points found")
+    steps = [s / 1000 for s, _ in points]
+    f1t = [v[0] for _, v in points]
+    f12t = [v[1] for _, v in points]
+
+    fig, ax = _styled_axes(args.title)
 
     for label in args.marks.split(","):
         if "=" not in label:
@@ -98,7 +148,6 @@ def main() -> None:
     ax.set_xlabel("optimizer step (thousands)", color=INK_2ND, fontsize=9)
     ax.set_ylabel("mean test F1", color=INK_2ND, fontsize=9)
     ax.set_ylim(0, max(f12t) * 1.25)
-    ax.set_title(args.title, color=INK, fontsize=10, loc="left", pad=16)
     ax.legend(loc="upper left", frameon=False, fontsize=8,
               labelcolor=INK_2ND)
     fig.tight_layout()

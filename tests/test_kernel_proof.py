@@ -37,4 +37,5 @@ def test_kernel_proof_cpu_smoke():
     assert checks["done"]["ok"] is True
     assert checks["chamfer_equiv_flagship"]["max_rel_err"] < 1e-4
     assert checks["chamfer_grad_equiv"]["max_abs_err"] < 1e-3
-    assert checks["spmm"]["max_abs_err"] < 1e-3
+    assert checks["spmm"]["err_pallas_vs_f64"] < 2e-2
+    assert checks["spmm"]["err_dense_vs_f64"] < 2e-2
