@@ -253,46 +253,113 @@ def _inner(args) -> None:
         pass
 
 
+def _preempt_supervised_runs(root: str = "") -> list:
+    """The chip admits ONE process at a time (CLAUDE.md), so the driver's
+    round-end bench would block forever behind a long supervised training
+    run.  Live supervisors advertise themselves via runs/*/supervisor.pid
+    (pid + argv + cwd — experiments/supervise.py); SIGTERM makes them tear
+    down the trainer's whole process group and remove the pidfile.  Returns
+    the relaunch specs so the run continues after the bench: the trainer
+    resumes from its latest checkpoint, so a preemption costs at most one
+    save_every interval of training."""
+    import glob
+    import signal
+
+    specs = []
+    root = root or os.path.dirname(os.path.abspath(__file__))
+    for pf in sorted(glob.glob(os.path.join(root, "runs", "*",
+                                            "supervisor.pid"))):
+        try:
+            with open(pf) as fh:
+                spec = json.load(fh)
+            pid = int(spec["pid"])
+            os.kill(pid, 0)  # raises if dead → stale pidfile, skip
+        except (OSError, ValueError, KeyError, TypeError):
+            continue
+        print(f"# bench: preempting supervised run (pid {pid}, {pf})",
+              file=sys.stderr)
+        try:
+            os.kill(pid, signal.SIGTERM)
+        except OSError:
+            continue
+        deadline = time.time() + 180.0
+        while time.time() < deadline:
+            try:
+                os.kill(pid, 0)
+            except OSError:
+                break  # supervisor (and its child group) gone
+            time.sleep(2.0)
+        specs.append(spec)
+        # give the relay a moment to notice the released claim
+        time.sleep(5.0)
+    return specs
+
+
+def _relaunch_runs(specs) -> None:
+    for spec in specs:
+        try:
+            cmd = [sys.executable] + list(spec["argv"])
+            log = "/tmp/relaunch_%d.log" % int(spec["pid"])
+            with open(log, "a") as fh:
+                subprocess.Popen(cmd, cwd=spec.get("cwd") or None,
+                                 stdout=fh, stderr=subprocess.STDOUT,
+                                 start_new_session=True)
+            print(f"# bench: relaunched supervised run ({' '.join(cmd[:4])}"
+                  f" ...; log {log})", file=sys.stderr)
+        except Exception as e:
+            print(f"# bench: relaunch failed: {e!r}", file=sys.stderr)
+
+
 def main() -> None:
     args = _build_parser().parse_args()
     if args._inner:
         _inner(args)
         return
 
+    # Preempt (and afterwards restore) any live training run: the chip is
+    # single-claimant, and BENCH_r03 taught us what an unparseable bench
+    # artifact costs a round.  --cpu smoke runs never touch the chip.
+    specs = [] if args.cpu else _preempt_supervised_runs()
+
     child_cmd = [sys.executable, os.path.abspath(__file__), "--_inner"]
     child_cmd += sys.argv[1:]
     last_err = ""
-    for attempt in range(1, args.attempts + 1):
-        try:
-            r = subprocess.run(child_cmd, capture_output=True, text=True,
-                               timeout=args.attempt_timeout)
-            out_lines = [l for l in (r.stdout or "").splitlines()
-                         if l.startswith("{")]
-            if r.returncode == 0 and out_lines:
-                payload = json.loads(out_lines[-1])  # validates
-                print(json.dumps(payload))
-                return
-            last_err = ((r.stderr or "").strip().splitlines() or ["rc=%d"
-                        % r.returncode])[-1]
-        except subprocess.TimeoutExpired:
-            last_err = f"attempt timed out after {args.attempt_timeout:.0f}s"
-        except Exception as e:  # json parse, spawn failure
-            last_err = repr(e)
-        print(f"# bench attempt {attempt}/{args.attempts} failed: "
-              f"{last_err}", file=sys.stderr)
-        if attempt < args.attempts:
-            time.sleep(args.retry_wait)
+    try:
+        for attempt in range(1, args.attempts + 1):
+            try:
+                r = subprocess.run(child_cmd, capture_output=True, text=True,
+                                   timeout=args.attempt_timeout)
+                out_lines = [l for l in (r.stdout or "").splitlines()
+                             if l.startswith("{")]
+                if r.returncode == 0 and out_lines:
+                    payload = json.loads(out_lines[-1])  # validates
+                    print(json.dumps(payload))
+                    return
+                last_err = ((r.stderr or "").strip().splitlines() or ["rc=%d"
+                            % r.returncode])[-1]
+            except subprocess.TimeoutExpired:
+                last_err = (f"attempt timed out after "
+                            f"{args.attempt_timeout:.0f}s")
+            except Exception as e:  # json parse, spawn failure
+                last_err = repr(e)
+            print(f"# bench attempt {attempt}/{args.attempts} failed: "
+                  f"{last_err}", file=sys.stderr)
+            if attempt < args.attempts:
+                time.sleep(args.retry_wait)
 
-    # Final failure: STILL print a parseable line so the driver records
-    # the failure mode instead of rc=1/parsed=null (BENCH_r03 post-mortem).
-    print(json.dumps({
-        "metric": "train_meshes_per_sec_per_chip",
-        "value": None,
-        "unit": "meshes/sec/chip",
-        "vs_baseline": None,
-        "error": last_err[:500],
-        "attempts": args.attempts,
-    }))
+        # Final failure: STILL print a parseable line so the driver records
+        # the failure mode instead of rc=1/parsed=null (BENCH_r03
+        # post-mortem).
+        print(json.dumps({
+            "metric": "train_meshes_per_sec_per_chip",
+            "value": None,
+            "unit": "meshes/sec/chip",
+            "vs_baseline": None,
+            "error": last_err[:500],
+            "attempts": args.attempts,
+        }))
+    finally:
+        _relaunch_runs(specs)
 
 
 if __name__ == "__main__":

@@ -80,6 +80,41 @@ def supervise(cmd, run_dir: str, stall_secs: float, max_restarts: int,
     env = dict(os.environ)
     env["GEOMETRICS_HEARTBEAT_FILE"] = hb_path
 
+    # Preemption contract: the chip admits ONE process at a time, and the
+    # round-end `bench.py` must be able to claim it even while a supervised
+    # run holds it.  The pidfile advertises this supervisor (pid + exact
+    # argv + cwd, so a preemptor can relaunch it verbatim afterwards); the
+    # SIGTERM handler tears down the CHILD's process group too — without it
+    # a terminated supervisor would orphan the trainer and the chip would
+    # never free.  The trainer resumes from its latest checkpoint on
+    # relaunch, so a preemption costs at most one save_every interval.
+    pid_path = os.path.join(run_dir, "supervisor.pid")
+    with open(pid_path, "w") as fh:
+        json.dump({"pid": os.getpid(), "argv": sys.argv,
+                   "cwd": os.getcwd()}, fh)
+    holder = {"proc": None}
+
+    def _on_term(signum, frame):
+        _log(log_path, "preempted", signum=signum)
+        proc = holder["proc"]
+        if proc is not None and proc.poll() is None:
+            _kill_group(proc, log_path)
+        try:
+            os.remove(pid_path)
+        except OSError:
+            pass
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+
+    def _done(rc: int) -> int:
+        try:
+            os.remove(pid_path)
+        except OSError:
+            pass
+        return rc
+
     t_session = time.monotonic()
     restarts = 0
     while True:
@@ -88,6 +123,7 @@ def supervise(cmd, run_dir: str, stall_secs: float, max_restarts: int,
         _log(log_path, "start", attempt=restarts, cmd=" ".join(cmd))
         t_start = time.monotonic()
         proc = subprocess.Popen(cmd, env=env, start_new_session=True)
+        holder["proc"] = proc
         stalled = False
         while proc.poll() is None:
             time.sleep(poll_secs)
@@ -110,21 +146,21 @@ def supervise(cmd, run_dir: str, stall_secs: float, max_restarts: int,
                 _log(log_path, "budget_stop", attempt=restarts,
                      hours=round((now - t_session) / 3600, 2))
                 _kill_group(proc, log_path)
-                return 0
+                return _done(0)
         rc = proc.returncode
         if not stalled and rc == 0:
             _log(log_path, "done", attempt=restarts,
                  hours=round((time.monotonic() - t_session) / 3600, 2))
-            return 0
+            return _done(0)
         if not stalled:
             _log(log_path, "crash", attempt=restarts, rc=rc)
         restarts += 1
         if restarts > max_restarts:
             _log(log_path, "max_restarts", restarts=restarts)
-            return 1
+            return _done(1)
         if time.monotonic() - t_session > max_hours * 3600:
             _log(log_path, "budget_stop", attempt=restarts)
-            return 0
+            return _done(0)
         time.sleep(backoff_secs)
 
 
