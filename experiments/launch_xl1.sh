@@ -25,11 +25,10 @@ if [ -f /tmp/bench.pid ]; then
 fi
 echo "$(date -u +%FT%TZ) chip free; launching xl1"
 
-nohup sh experiments/commit_run_checkpoints.sh runs/xl1 900 \
-    > /tmp/ckpt_commit.log 2>&1 &
-echo $! > /tmp/ckpt_commit.pid
-
-exec python experiments/supervise.py --run_dir runs/xl1 --max_hours 9 -- \
+# reboot insurance is OWNED by the supervisor (--commit_every): no launch
+# path can forget it, and the committer is reaped with the supervisor
+exec python experiments/supervise.py --run_dir runs/xl1 --max_hours 9 \
+    --commit_every 1200 -- \
     python experiments/run_full.py --run_dir runs/xl1 --preset paperres_xl \
     --data_root data/mv24 --epochs 200 --with_latent true \
     --reuse_ae runs/hr1/ae --steps_per_call 20 --lr_schedule cosine \

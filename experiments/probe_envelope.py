@@ -81,7 +81,8 @@ def main() -> None:
     total = float(result["metrics"]["total"])
     assert total == total, "probe produced NaN loss"
 
-    record_probe(cfg, name=args.name or args.preset)
+    record_probe(cfg, name=args.name or args.preset,
+                 steps_survived=args.probe_steps)
     print(json.dumps({
         "probe": args.name or args.preset,
         "score": cfg.mesh.v_max * cfg.model.hidden,

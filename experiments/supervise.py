@@ -71,9 +71,26 @@ def _kill_group(proc: subprocess.Popen, log_path: str) -> None:
     proc.wait()
 
 
+def _spawn_committer(run_dir: str, interval_s: int, log_path: str):
+    """Reboot insurance (round-4 post-mortem): two host reboots erased
+    uncommitted run dirs, and the standalone committer launch was forgotten /
+    misconfigured more than once.  When ``--commit_every`` is set the
+    supervisor OWNS the committer: no supervised run can start uninsured, and
+    the committer dies with the supervisor (reaped in _done/_on_term)."""
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "commit_run_checkpoints.sh")
+    logf = open(os.path.join(run_dir, "committer.log"), "a")
+    proc = subprocess.Popen(["sh", script, run_dir, str(int(interval_s))],
+                            stdout=logf, stderr=subprocess.STDOUT,
+                            start_new_session=True)
+    _log(log_path, "committer_start", pid=proc.pid, interval_s=interval_s)
+    return proc
+
+
 def supervise(cmd, run_dir: str, stall_secs: float, max_restarts: int,
               max_hours: float, backoff_secs: float,
-              startup_grace_secs: float, poll_secs: float = 10.0) -> int:
+              startup_grace_secs: float, poll_secs: float = 10.0,
+              commit_every: int = 0) -> int:
     os.makedirs(run_dir, exist_ok=True)
     log_path = os.path.join(run_dir, "supervisor.jsonl")
     hb_path = os.path.join(run_dir, "heartbeat")
@@ -89,16 +106,36 @@ def supervise(cmd, run_dir: str, stall_secs: float, max_restarts: int,
     # never free.  The trainer resumes from its latest checkpoint on
     # relaunch, so a preemption costs at most one save_every interval.
     pid_path = os.path.join(run_dir, "supervisor.pid")
-    with open(pid_path, "w") as fh:
-        json.dump({"pid": os.getpid(), "argv": sys.argv,
-                   "cwd": os.getcwd()}, fh)
+
+    def _write_pidfile(child_pid=None):
+        # child_pid lets a preemptor (bench.py) escalate to killpg on the
+        # trainer's own process group if this supervisor won't die in time —
+        # without it a SIGKILL'd supervisor orphans a trainer that still
+        # holds the chip (round-4 ADVICE).
+        with open(pid_path, "w") as fh:
+            json.dump({"pid": os.getpid(), "argv": sys.argv,
+                       "cwd": os.getcwd(), "child_pid": child_pid}, fh)
+
+    _write_pidfile()
     holder = {"proc": None}
+    committer = _spawn_committer(run_dir, commit_every, log_path) \
+        if commit_every > 0 else None
+
+    def _reap_committer():
+        if committer is not None and committer.poll() is None:
+            committer.terminate()
+            try:
+                committer.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                committer.kill()
+                committer.wait()
 
     def _on_term(signum, frame):
         _log(log_path, "preempted", signum=signum)
         proc = holder["proc"]
         if proc is not None and proc.poll() is None:
             _kill_group(proc, log_path)
+        _reap_committer()
         try:
             os.remove(pid_path)
         except OSError:
@@ -109,6 +146,7 @@ def supervise(cmd, run_dir: str, stall_secs: float, max_restarts: int,
     signal.signal(signal.SIGINT, _on_term)
 
     def _done(rc: int) -> int:
+        _reap_committer()
         try:
             os.remove(pid_path)
         except OSError:
@@ -124,6 +162,7 @@ def supervise(cmd, run_dir: str, stall_secs: float, max_restarts: int,
         t_start = time.monotonic()
         proc = subprocess.Popen(cmd, env=env, start_new_session=True)
         holder["proc"] = proc
+        _write_pidfile(child_pid=proc.pid)
         stalled = False
         while proc.poll() is None:
             time.sleep(poll_secs)
@@ -178,6 +217,10 @@ def main() -> int:
     p.add_argument("--max_restarts", type=int, default=40)
     p.add_argument("--max_hours", type=float, default=10.0)
     p.add_argument("--backoff_secs", type=float, default=30.0)
+    p.add_argument("--commit_every", type=int, default=0,
+                   help="if >0, spawn commit_run_checkpoints.sh on run_dir "
+                        "at this interval (reboot insurance owned by the "
+                        "supervisor; reaped on exit)")
     argv = sys.argv[1:]
     if "--" not in argv:
         p.error("separate the training command with `--`")
@@ -188,7 +231,7 @@ def main() -> int:
         p.error("empty training command after `--`")
     return supervise(cmd, args.run_dir, args.stall_secs, args.max_restarts,
                      args.max_hours, args.backoff_secs,
-                     args.startup_grace_secs)
+                     args.startup_grace_secs, commit_every=args.commit_every)
 
 
 if __name__ == "__main__":

@@ -146,11 +146,19 @@ _ENVELOPE_UNPROVEN_K = 10       # cap until a probe proves a bigger program
 # product tracks the observed kill boundary better than v_max alone
 # (round-3 verdict: paperres_xl is ~1.7x the paperres program at the SAME
 # v_max, and the old v_max-only rule couldn't tell them apart).
+#
+# The 5th field is steps_survived — how long the surviving run actually ran
+# (round-4 verdict #5: a 120-step probe and a completed 130k-step schedule
+# used to be indistinguishable here).  Code-table entries are completed
+# schedules; their spans are the schedules' step counts (RESULTS.md).
 _PROVEN_PROBES = (
-    ("flagship", 384 * 192, 32, 60),    # rounds 1-2, full runs
-    ("highres", 1152 * 192, 16, 20),    # round 2, full run
-    ("paperres", 2560 * 192, 16, 20),   # round 3, 130-epoch run
+    ("flagship", 384 * 192, 32, 60, 50_000),    # rounds 1-2, full runs
+    ("highres", 1152 * 192, 16, 20, 40_000),    # round 2, full run
+    ("paperres", 2560 * 192, 16, 20, 131_000),  # round 3, 130-epoch run
 )
+# a probe shorter than this is "thin": it proves the program compiles and
+# dispatches, not that the worker tolerates it for epochs
+_PROBE_STRONG_STEPS = 1000
 _PROBE_FILE = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))), ".envelope_probes.json")
@@ -165,22 +173,27 @@ def _proven_probes() -> list:
         with open(_PROBE_FILE) as fh:
             for p in json.load(fh):
                 probes.append((p["name"], int(p["score"]), int(p["batch"]),
-                               int(p["steps_per_call"])))
+                               int(p["steps_per_call"]),
+                               int(p.get("steps_survived", 0))))
     except (OSError, ValueError, KeyError):
         pass
     return probes
 
 
-def record_probe(config: "TrainConfig", name: str = "probe") -> None:
+def record_probe(config: "TrainConfig", name: str = "probe",
+                 steps_survived: int = 0) -> None:
     """Append a SURVIVING config to the probe table the validator reads.
 
     Call after a deliberate ``ignore_envelope`` probe completes without
-    killing the worker (experiments/probe_envelope.py does this)."""
+    killing the worker (experiments/probe_envelope.py does this).
+    ``steps_survived`` records the probe's proven span so the validator can
+    tell a 2-minute smoke from an epochs-long proof (round-4 verdict #5)."""
     import json
 
     entry = {"name": name, "score": config.mesh.v_max * config.model.hidden,
              "batch": config.batch_size,
-             "steps_per_call": config.steps_per_call}
+             "steps_per_call": config.steps_per_call,
+             "steps_survived": int(steps_survived)}
     try:
         with open(_PROBE_FILE) as fh:
             table = json.load(fh)
@@ -213,12 +226,31 @@ def validate_envelope(config: "TrainConfig", backend: str) -> "TrainConfig":
     if config.steps_per_call > _ENVELOPE_MAX_K:
         changes["steps_per_call"] = _ENVELOPE_MAX_K
     score = config.mesh.v_max * config.model.hidden
-    max_proven = max(p[1] for p in _proven_probes())
+    probes = _proven_probes()
+    max_proven = max(p[1] for p in probes)
     if score > max_proven:
         k_now = changes.get("steps_per_call", config.steps_per_call)
         if k_now > _ENVELOPE_UNPROVEN_K:
             changes["steps_per_call"] = _ENVELOPE_UNPROVEN_K
         changes.setdefault("_unproven", None)  # sentinel for the warning
+    else:
+        # Admitted — but by how strong a proof?  A thin probe (a few relay
+        # dispatches) proves dispatchability, not epochs of worker tolerance;
+        # warn (never clamp: the envelope rules above already cap the
+        # per-dispatch program) so long runs on thin proofs are a stated
+        # risk, not a silent one (round-4 verdict #5).
+        admitting = [p for p in probes if p[1] >= score]
+        span = max(p[4] for p in admitting)
+        if span < _PROBE_STRONG_STEPS and config.epochs > 1:
+            import warnings
+
+            names = ", ".join(f"{p[0]}({p[4]} steps)" for p in admitting)
+            warnings.warn(
+                f"program-size score {score} is admitted only by thin "
+                f"probes [{names}] (<{_PROBE_STRONG_STEPS} proven steps) — "
+                f"a {config.epochs}-epoch run extrapolates far beyond the "
+                f"proof; record_probe a longer surviving span when one "
+                f"completes", stacklevel=2)
     if changes:
         import warnings
 

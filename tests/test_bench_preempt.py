@@ -97,3 +97,22 @@ def test_preempt_skips_stale_pidfile(tmp_path):
     (run_dir / "supervisor.pid").write_text(
         json.dumps({"pid": p.pid, "argv": ["x"], "cwd": str(tmp_path)}))
     assert bench._preempt_supervised_runs(root=str(tmp_path)) == []
+
+
+def test_preempt_skips_recycled_pid(tmp_path):
+    """Round-4 ADVICE: after a reboot the OS can recycle a stale pidfile's
+    pid onto an UNRELATED live process — the preemptor must identity-check
+    /proc/<pid>/cmdline before signaling, not just liveness."""
+    run_dir = tmp_path / "runs" / "recycled"
+    run_dir.mkdir(parents=True)
+    # a live process that is definitely not a supervisor
+    p = subprocess.Popen([sys.executable, "-c",
+                          "import time; time.sleep(60)"])
+    try:
+        (run_dir / "supervisor.pid").write_text(
+            json.dumps({"pid": p.pid, "argv": ["x"], "cwd": str(tmp_path)}))
+        assert bench._preempt_supervised_runs(root=str(tmp_path)) == []
+        assert p.poll() is None  # the innocent bystander was NOT signaled
+    finally:
+        p.kill()
+        p.wait()

@@ -82,6 +82,32 @@ def test_is_tpu_accepts_axon_platform(monkeypatch):
     assert ops._on_tpu() is True
 
 
+def test_nearest_sqdists_uses_lax_even_on_tpu(monkeypatch):
+    """Round-4 verdict #4 pin: the fwd-only eval path dispatches the lax
+    matmul form on EVERY backend (measured ~2.6x faster than the fused
+    kernel forward-only in the on-chip shoot-out); only the fwd+bwd loss
+    path (chamfer) keeps the fused kernel on TPU."""
+    import geometrics_tpu.ops as ops
+
+    monkeypatch.setattr(ops, "_on_tpu", lambda: True)
+    called = {}
+    real_lax = ops._nearest_lax
+
+    def fake_lax(*a, **k):
+        called["lax"] = True
+        return real_lax(*a, **k)
+
+    def fake_fused(*a, **k):  # must never fire from nearest_sqdists
+        called["fused"] = True
+        raise AssertionError("fused kernel on the fwd-only eval path")
+
+    monkeypatch.setattr(ops, "_nearest_lax", fake_lax)
+    monkeypatch.setattr(ops, "nearest_sqdists_fused", fake_fused)
+    x = jnp.zeros((1, 8, 3))
+    ops.nearest_sqdists(x, x)
+    assert called == {"lax": True}
+
+
 def test_is_tpu_via_device_kind(monkeypatch):
     """Even with an unknown platform name, a TPU device kind wins."""
     from geometrics_tpu.ops import _backend

@@ -99,6 +99,75 @@ def test_budget_stop_kills_healthy_child(tmp_path):
     assert _events(tmp_path)[-1] == "budget_stop"
 
 
+def test_commit_every_spawns_and_reaps_committer(tmp_path):
+    """--commit_every makes the SUPERVISOR own the reboot-insurance loop
+    (round-4 verdict #6: the standalone committer launch was forgotten /
+    misconfigured; now no supervised run can start uninsured).  End-to-end
+    on a throwaway git repo: the child trainer writes a numeric step dir, a
+    'Checkpoint' commit appears, and the committer dies with the
+    supervisor."""
+    import shutil
+    import time
+
+    repo = tmp_path / "repo"
+    (repo / "experiments").mkdir(parents=True)
+    for script in ("supervise.py", "commit_run_checkpoints.sh"):
+        shutil.copy(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "experiments", script),
+            repo / "experiments" / script)
+
+    def _git(*args):
+        return subprocess.run(["git", "-C", str(repo), *args], check=True,
+                              capture_output=True, text=True).stdout
+
+    _git("init", "-q")
+    _git("config", "user.email", "t@t")
+    _git("config", "user.name", "t")
+    (repo / "README").write_text("x")
+    _git("add", "-A")
+    _git("commit", "-qm", "init")
+
+    run_dir = repo / "runs" / "r"
+    child = repo / "child.py"
+    child.write_text(
+        "import os, time\n"
+        f"os.makedirs({str(run_dir / '100')!r}, exist_ok=True)\n"
+        f"open({str(run_dir / '100' / 'c.bin')!r}, 'wb').write(b'x')\n"
+        "for _ in range(40):\n"
+        "    open(os.environ['GEOMETRICS_HEARTBEAT_FILE'], 'w').write('1')\n"
+        "    time.sleep(0.5)\n")
+    sup = subprocess.Popen(
+        [sys.executable, "experiments/supervise.py", "--run_dir", "runs/r",
+         "--max_hours", str(12.0 / 3600), "--commit_every", "1", "--",
+         sys.executable, "child.py"], cwd=str(repo))
+    try:
+        t0 = time.time()
+        committed = False
+        while time.time() - t0 < 30:
+            if "Checkpoint" in _git("log", "--oneline"):
+                committed = True
+                break
+            time.sleep(0.5)
+        assert committed, _git("log", "--oneline")
+    finally:
+        sup.terminate()
+        sup.wait(timeout=20)
+    events = [json.loads(l) for l in
+              (run_dir / "supervisor.jsonl").read_text().splitlines()]
+    starts = [e for e in events if e["event"] == "committer_start"]
+    assert starts
+    # the committer was reaped with the supervisor
+    cpid = starts[0]["pid"]
+    for _ in range(20):
+        try:
+            os.kill(cpid, 0)
+        except OSError:
+            break
+        time.sleep(0.5)
+    else:
+        raise AssertionError(f"committer {cpid} still alive")
+
+
 def test_max_restarts_bounds_the_session(tmp_path):
     child = _write_child(tmp_path, "import sys\nsys.exit(3)\n")
     rc = supervise([sys.executable, child], str(tmp_path), stall_secs=30,
