@@ -40,6 +40,7 @@ class HarvestArgs:
     extra_epochs: int = 3    # anneal length after the latest checkpoint
     max_hours: float = 0.7   # supervisor wall-clock bound (nothing may hold
                              # the chip at round end)
+    commit_every: int = 1200  # supervisor-owned reboot insurance (r5)
     stall_secs: float = 1500.0
     startup_grace_secs: float = 1800.0
     max_restarts: int = 3
@@ -82,7 +83,8 @@ def main() -> None:
         "--stall_secs", str(args.stall_secs),
         "--startup_grace_secs", str(args.startup_grace_secs),
         "--max_restarts", str(args.max_restarts),
-        "--max_hours", str(args.max_hours), "--",
+        "--max_hours", str(args.max_hours),
+        "--commit_every", str(args.commit_every), "--",
         sys.executable, "experiments/run_full.py",
         "--run_dir", args.run_dir, "--data_root", args.data_root,
         "--preset", args.preset,

@@ -40,3 +40,5 @@ def test_harvest_dry_run(tmp_path):
     assert f"--run_dir {run_dir}" in cmd_line
     assert "--steps_per_call 2" in cmd_line and "--lr 0.001" in cmd_line
     assert "supervise.py" in cmd_line and "--max_hours 0.7" in cmd_line
+    # the harvest run must carry its own reboot insurance (r5)
+    assert "--commit_every 1200" in cmd_line
