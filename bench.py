@@ -240,6 +240,24 @@ def _build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _gate_windows(rates, flops: float, batch: int, peak: float):
+    """Physical-plausibility gate (round-4 verdict #2c): a window whose
+    implied FLOP/s exceeds the nominal single-chip peak cannot be one such
+    chip; it is excluded from the per-chip headline.
+
+    Returns (headline meshes/s, headline mfu or None, per-window mfu list,
+    per-window suspect flags, plausible rates).  When NO window is
+    plausible the headline falls back to the all-window median with
+    ``mfu=None`` (the caller marks the payload ``mfu_suspect``)."""
+    per_window_mfu = [flops * r / batch / peak for r in rates]
+    suspect = [m > 1.0 for m in per_window_mfu]
+    plausible = [r for r, s in zip(rates, suspect) if not s]
+    mps = float(np.median(plausible if plausible else rates))
+    step_time = batch / mps  # seconds per step at the headline rate
+    mfu = flops / step_time / peak if plausible else None
+    return mps, mfu, per_window_mfu, suspect, plausible
+
+
 def _inner(args) -> None:
     """One measurement attempt — runs in a child so a wedged/cached-failed
     backend dies with the process instead of poisoning retries."""
@@ -262,16 +280,8 @@ def _inner(args) -> None:
         batch=args.batch_size, surface_samples=args.surface_samples,
         gt_points=args.surface_samples)
     peak, peak_assumed = _peak_for_kind(device_kind)
-
-    # Physical plausibility per window (round-4 verdict #2c): a window whose
-    # implied FLOP/s exceeds the nominal single-chip peak cannot be one such
-    # chip; it is excluded from the per-chip headline.
-    per_window_mfu = [flops * r / args.batch_size / peak for r in rates]
-    suspect = [m > 1.0 for m in per_window_mfu]
-    plausible = [r for r, s in zip(rates, suspect) if not s]
-    mps = float(np.median(plausible if plausible else rates))
-    step_time = args.batch_size / mps  # seconds per step at the headline rate
-    mfu = flops / step_time / peak if plausible else None
+    mps, mfu, per_window_mfu, suspect, plausible = _gate_windows(
+        rates, flops, args.batch_size, peak)
 
     # Direct measurement of this pool moment's FLOP/s ceiling (closed-form
     # flop count, serialized dependency chain) — settles whether suspect
