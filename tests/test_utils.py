@@ -117,3 +117,48 @@ def test_analytic_flops_basis():
     # the audited bench-config total (see docstring)
     assert analytic_train_step_flops(batch=32) == pytest.approx(
         379_970_340_864.0)
+
+
+def test_watch_run_segment_and_eta(tmp_path):
+    """watch_run: rate uses only the CURRENT trainer segment (wall_s resets
+    on relaunch) and the ETA arithmetic is exact on synthetic logs."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "experiments"))
+    from watch_run import current_segment, load_rows
+
+    run = tmp_path / "run"
+    run.mkdir()
+    rows = [
+        {"step": 100, "wall_s": 50.0},                     # killed attempt
+        {"step": 100, "wall_s": 5.0, "resumed_from": 100}, # relaunch: reset
+        {"step": 0, "wall_s": 60.0, "device_cache_mb": 1.0},
+        {"step": 1100, "wall_s": 160.0, "total": 0.5},
+        {"step": 2100, "wall_s": 260.0, "total": 0.4},
+        {"step": 2120, "wall_s": 270.0, "eval_mean_f1_tau": 0.2,
+         "eval_mean_f1_2tau": 0.4, "eval_mean_chamfer": 0.001},
+    ]
+    with open(run / "train_metrics.jsonl", "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+    loaded = load_rows(str(run / "train_metrics.jsonl"))
+    seg = current_segment(loaded)
+    # the pre-reset row is dropped; the post-reset rows survive
+    assert seg[0]["wall_s"] == 5.0 and len(seg) == 5
+
+    # end-to-end: the printed JSON carries rate from the live segment
+    # ((2120-100)/(270-5) ≈ 7.62 steps/s) and the latest eval
+    import subprocess
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__), "..", "experiments",
+                      "watch_run.py"),
+         "--run_dir", str(run), "--max_steps", "4000", "--window", "10"],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    out = json.loads(r.stdout)
+    assert out["step"] == 2120
+    assert out["steps_per_sec"] == pytest.approx(7.62, abs=0.02)
+    assert out["remaining_steps"] == 1880
+    assert out["last_eval"]["eval_mean_f1_tau"] == 0.2
